@@ -1,0 +1,123 @@
+"""Pairwise similarity kernels.
+
+* ``cosine_similarity`` — exact port of
+  ``/root/reference/src/vector/vector_database.cpp:1786-1810``: double
+  accumulation over float32 inputs, 0.0 on length mismatch or zero norm.
+* ``cosine_matrix`` — the same math vectorized over a batch (float64
+  accumulation, fixed operand order ⇒ bit-stable across partitions).
+* ``levenshtein`` / ``jaro_winkler`` — standard definitions (additions
+  required by the north star; the reference has SymSpell edit distance,
+  src/search/symspell_search.cpp:25-29, which bounds distance ≤2 — our
+  full DP is a superset used for pair features).
+* ``hamming64`` — bit distance between 64-bit SimHash signatures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cosine_similarity(a, b) -> float:
+    """vector_database.cpp:1786-1810, double accumulation."""
+    a = np.asarray(a, dtype=np.float32)
+    b = np.asarray(b, dtype=np.float32)
+    if a.size != b.size:
+        return 0.0
+    a64 = a.astype(np.float64)
+    b64 = b.astype(np.float64)
+    dot = float(np.dot(a64, b64))
+    norm_a = float(np.sqrt(np.dot(a64, a64)))
+    norm_b = float(np.sqrt(np.dot(b64, b64)))
+    if norm_a == 0.0 or norm_b == 0.0:
+        return 0.0
+    return dot / (norm_a * norm_b)
+
+
+def cosine_matrix(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Row-wise cosine between two (n, d) float32 batches, float64 math."""
+    l64 = left.astype(np.float64)
+    r64 = right.astype(np.float64)
+    dots = np.einsum("ij,ij->i", l64, r64)
+    na = np.sqrt(np.einsum("ij,ij->i", l64, l64))
+    nb = np.sqrt(np.einsum("ij,ij->i", r64, r64))
+    denom = na * nb
+    out = np.zeros(len(l64), dtype=np.float64)
+    nz = denom != 0.0
+    out[nz] = dots[nz] / denom[nz]
+    return out
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic DP edit distance (two-row)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, start=1):
+        cur = [j] + [0] * len(a)
+        for i, ca in enumerate(a, start=1):
+            cost = 0 if ca == cb else 1
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+        prev = cur
+    return prev[-1]
+
+
+def jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    match_window = max(la, lb) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo = max(0, i - match_window)
+        hi = min(lb, i + match_window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and a[i] == b[j]:
+                a_flags[i] = b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    transpositions //= 2
+    m = matches
+    return (m / la + m / lb + (m - transpositions) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1, max_prefix: int = 4) -> float:
+    base = jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a, b):
+        if ca != cb or prefix >= max_prefix:
+            break
+        prefix += 1
+    return base + prefix * prefix_scale * (1.0 - base)
+
+
+def hamming64(x: int, y: int) -> int:
+    return int(bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def hamming64_array(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance over int64/uint64 arrays."""
+    z = (x.astype(np.uint64) ^ y.astype(np.uint64)).view(np.uint8)
+    return np.unpackbits(z.reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int32)
