@@ -1,0 +1,158 @@
+"""End-to-end: Spark ER pipeline ≡ pure-Python oracle (dedupe.cpp trace),
+byte-identical extraction, pairwise F1 vs ground-truth family labels
+(FIXTURES.md §5.5), determinism.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from yams_spark.oracle.dedupe_oracle import blocking_keys, run_oracle
+from yams_spark.plans.er_pipeline import PipelineConfig, run_pipeline
+from yams_spark.sources.pages import generate_pages_pdf
+
+
+@pytest.fixture(scope="module")
+def corpus(sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return generate_pages_pdf(docs.head(120), replicate=1)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    rows = corpus.to_dict("records")
+    return run_oracle(rows)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, corpus):
+    pages = spark.createDataFrame(corpus[["url", "warc_ts", "html", "text", "lang"]])
+    return run_pipeline(spark, pages, PipelineConfig())
+
+
+def test_corpus_has_duplicate_structure(corpus) -> None:
+    fam_sizes = corpus.groupby("family_id").size()
+    assert (fam_sizes >= 2).sum() > 30  # plenty of true duplicate families
+    assert (fam_sizes == 1).sum() > 20  # and singletons
+
+
+def test_extraction_byte_identity(pipeline_result, corpus) -> None:
+    sig = pipeline_result["signatures"].select("url", "extracted_text").toPandas()
+    merged = sig.merge(corpus[["url", "text"]], on="url", validate="1:1")
+    mismatch = merged[merged["extracted_text"] != merged["text"]]
+    assert len(mismatch) == 0, mismatch.head()
+
+
+def test_scored_pairs_match_oracle_exactly(pipeline_result, oracle_result) -> None:
+    got = (
+        pipeline_result["scored_pairs"]
+        .toPandas()
+        .sort_values(["url_a", "url_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(
+            [
+                p
+                for p in (
+                    oracle_result.accepted_pairs
+                )
+            ]
+        )
+        if oracle_result.accepted_pairs
+        else pd.DataFrame()
+    )
+    # candidate pair sets equal
+    got_pairs = set(zip(got["url_a"], got["url_b"]))
+    assert got_pairs == oracle_result.candidate_pairs
+    # accepted pairs and their scores bit-equal
+    got_acc = got[got["accepted"]]
+    want_idx = {(p["url_a"], p["url_b"]): p for p in oracle_result.accepted_pairs}
+    assert set(zip(got_acc["url_a"], got_acc["url_b"])) == set(want_idx)
+    for r in got_acc.itertuples(index=False):
+        w = want_idx[(r.url_a, r.url_b)]
+        assert r.cosine == w["cosine"], (r.url_a, r.url_b)
+        assert r.title_overlap == w["title_overlap"]
+        assert r.path_overlap == w["path_overlap"]
+        assert r.pair_score == w["pair_score"]
+
+
+def test_clusters_match_oracle(pipeline_result, oracle_result) -> None:
+    got = pipeline_result["clusters"].toPandas()
+    want = pd.DataFrame(oracle_result.clusters)
+    assert set(got["group_key"]) == set(want["group_key"])
+    g = got.set_index("group_key").sort_index()
+    w = want.set_index("group_key").sort_index()
+    assert g["canonical_url"].to_dict() == w["canonical_url"].to_dict()
+    assert g["member_count"].astype(int).to_dict() == w["member_count"].astype(int).to_dict()
+    for k in w.index:
+        assert g.loc[k, "max_pair_score"] == pytest.approx(w.loc[k, "max_pair_score"], abs=0)
+
+
+def test_members_match_oracle(pipeline_result, oracle_result) -> None:
+    got = pipeline_result["members"].toPandas()
+    want = pd.DataFrame(oracle_result.members)
+    key = ["group_key", "url"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert g["url"].tolist() == w["url"].tolist()
+    assert g["role"].tolist() == w["role"].tolist()
+    for col in ["similarity_to_canonical", "title_overlap", "path_overlap", "pair_score"]:
+        gv = g[col].tolist()
+        wv = w[col].tolist()
+        for x, y in zip(gv, wv):
+            if y is None or pd.isna(y):
+                assert x is None or pd.isna(x)
+            else:
+                assert x == pytest.approx(y, abs=0)
+
+
+def test_pairwise_f1_on_labeled_block_pairs(pipeline_result, oracle_result, corpus) -> None:
+    """F1 ≥ 0.99 on pairs sharing ≥1 blocking key, labels = family ids."""
+    fam = dict(zip(corpus["url"], corpus["family_id"]))
+    # predicted: same final cluster
+    members = pipeline_result["members"].toPandas()
+    cluster_of = dict(zip(members["url"], members["group_key"]))
+
+    tp = fp = fn = tn = 0
+    for ua, ub in sorted(oracle_result.candidate_pairs):
+        is_match = fam[ua] == fam[ub]
+        pred = (
+            ua in cluster_of and ub in cluster_of and cluster_of[ua] == cluster_of[ub]
+        )
+        tp += is_match and pred
+        fp += pred and not is_match
+        fn += is_match and not pred
+        tn += not is_match and not pred
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, (precision, recall, f1, tp, fp, fn, tn)
+
+
+def test_oracle_reproduces_family_labels(oracle_result, corpus) -> None:
+    """The oracle itself (= reference algorithm) recovers family structure."""
+    fam = dict(zip(corpus["url"], corpus["family_id"]))
+    labels = oracle_result.labels
+    # every ≥2 family fully merged
+    by_fam: dict[int, list[str]] = {}
+    for u, f in fam.items():
+        by_fam.setdefault(f, []).append(u)
+    merged = sum(
+        1 for urls in by_fam.values() if len(urls) >= 2
+        and len({labels[u] for u in urls}) == 1
+    )
+    total = sum(1 for urls in by_fam.values() if len(urls) >= 2)
+    assert merged / total >= 0.97, (merged, total)
+
+
+def test_pipeline_deterministic(spark, corpus, pipeline_result) -> None:
+    pages = spark.createDataFrame(corpus[["url", "warc_ts", "html", "text", "lang"]])
+    second = run_pipeline(spark, pages, PipelineConfig())
+    a = set(pipeline_result["clusters"].toPandas()["group_key"])
+    b = set(second["clusters"].toPandas()["group_key"])
+    assert a == b

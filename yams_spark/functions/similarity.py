@@ -18,19 +18,17 @@ import numpy as np
 
 
 def cosine_similarity(a, b) -> float:
-    """vector_database.cpp:1786-1810, double accumulation."""
+    """vector_database.cpp:1786-1810, double accumulation.
+
+    Delegates to ``cosine_matrix`` with a 1-row batch so the scalar and the
+    batched pipeline path share one summation order (einsum is per-row
+    batch-size-invariant) — pair scores are bit-identical either way.
+    """
     a = np.asarray(a, dtype=np.float32)
     b = np.asarray(b, dtype=np.float32)
     if a.size != b.size:
         return 0.0
-    a64 = a.astype(np.float64)
-    b64 = b.astype(np.float64)
-    dot = float(np.dot(a64, b64))
-    norm_a = float(np.sqrt(np.dot(a64, a64)))
-    norm_b = float(np.sqrt(np.dot(b64, b64)))
-    if norm_a == 0.0 or norm_b == 0.0:
-        return 0.0
-    return dot / (norm_a * norm_b)
+    return float(cosine_matrix(a.reshape(1, -1), b.reshape(1, -1))[0])
 
 
 def cosine_matrix(left: np.ndarray, right: np.ndarray) -> np.ndarray:

@@ -1,0 +1,99 @@
+"""Blocking + candidate-pair generation.
+
+Recasts the reference's ANN candidate generation (dedupe.cpp:157-184,
+k=6 similarity self-join) as explicit blocking: every page is exploded to
+(url, block_key, family) rows across five key families — exact text hash,
+Rabin chunk hashes, MinHash LSH bands, SimHash bands, title key — and
+candidate pairs are the within-block self-join with ``url_a < url_b``,
+deduplicated across families.
+
+Scale levers (the reference is single-node; these are the north-rule
+additions):
+
+* oversized blocks are *salted*: keys with more than ``block_cap`` members
+  are deterministically split into ``ceil(n/cap)`` sub-blocks by
+  xxhash64(url). Cross-sub-block pairs are dropped — by design — and the
+  truncation is reported per key in the lineage metrics, never silently
+  (mirrors the spirit of max_component_docs=64, topology_baseline.cpp:44).
+* AQE skew-join handles residual skew in the pair self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BLOCK_CAP = 64
+
+
+def blocks_stage(signatures: DataFrame) -> DataFrame:
+    """signatures -> (url, block_key, family), one row per key."""
+    exact = signatures.select(
+        "url",
+        F.concat(F.lit("tx:"), F.col("text_hash")).alias("block_key"),
+        F.lit("exact").alias("family"),
+    )
+    chunk = signatures.select(
+        "url",
+        F.explode("chunk_hashes").alias("ch"),
+        F.lit("chunk").alias("family"),
+    ).select("url", F.concat(F.lit("ck:"), F.col("ch")).alias("block_key"), "family")
+    minhash = signatures.select(
+        "url", F.explode("minhash_bands").alias("block_key"), F.lit("minhash").alias("family")
+    )
+    simhash = signatures.select(
+        "url", F.explode("simhash_bands").alias("block_key"), F.lit("simhash").alias("family")
+    )
+    title = (
+        signatures.where(F.col("title_key").isNotNull())
+        .select("url", F.col("title_key").alias("block_key"), F.lit("title").alias("family"))
+    )
+    return exact.unionByName(chunk).unionByName(minhash).unionByName(simhash).unionByName(title)
+
+
+def salt_blocks(blocks: DataFrame, block_cap: int = DEFAULT_BLOCK_CAP) -> tuple[DataFrame, DataFrame]:
+    """Split oversized blocks into <=cap salted sub-blocks.
+
+    Returns (salted_blocks, oversize_report). ``salted_blocks`` has the same
+    columns with ``block_key`` rewritten to ``key#<salt>`` for hot keys.
+    ``oversize_report`` lists every truncated key with its size and salt
+    fan-out (lineage: dropped cross-sub-block pairs are accounted for).
+    """
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    withsize = blocks.join(sizes, "block_key")
+    n_salt = F.ceil(F.col("block_size") / F.lit(block_cap)).cast("int")
+    salted = withsize.withColumn(
+        "block_key",
+        F.when(
+            F.col("block_size") > block_cap,
+            F.concat_ws("#", F.col("block_key"), (F.pmod(F.xxhash64("url"), n_salt)).cast("string")),
+        ).otherwise(F.col("block_key")),
+    ).select("url", "block_key", "family")
+    report = (
+        sizes.where(F.col("block_size") > block_cap)
+        .withColumn("n_salt", n_salt)
+        .withColumn(
+            "dropped_pairs_upper_bound",
+            (F.col("block_size") * (F.col("block_size") - 1) / 2
+             - (F.col("block_size") / F.col("n_salt"))
+             * (F.col("block_size") / F.col("n_salt") - 1) / 2 * F.col("n_salt")).cast("long"),
+        )
+    )
+    return salted, report
+
+
+def candidate_pairs_stage(blocks: DataFrame) -> DataFrame:
+    """(url, block_key) -> distinct (url_a, url_b) with url_a < url_b.
+
+    Within-block self-join; the shuffle is on block_key (both sides), AQE
+    splits skewed keys. ``dropDuplicates`` dedupes pairs found by multiple
+    key families.
+    """
+    left = blocks.select(F.col("block_key"), F.col("url").alias("url_a"))
+    right = blocks.select(F.col("block_key"), F.col("url").alias("url_b"))
+    return (
+        left.join(right, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+        .dropDuplicates(["url_a", "url_b"])
+    )

@@ -1,0 +1,232 @@
+"""End-to-end ER pipeline DAG with per-stage lineage metrics and
+resume-from-checkpoint.
+
+Stage DAG (mirrors the reference ingest→dedupe dataflow, SURVEY.md §3.1/§3.3):
+
+    extract+sign → block → (salt) → pair → score → cluster → publish
+
+Every stage is a pure function of its input table. When a ``checkpoint_dir``
+is given, each stage writes its output parquet plus a watermark row to the
+metrics table; a rerun skips any stage whose watermark + output already
+exist (idempotent resume — the WAL/recovery analog of wal_manager.h:23-80,
+done the Spark way via durable table commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yams_spark.functions.chunker import PAGE_CHUNKING, ChunkingConfig
+from yams_spark.operators.blocking import (
+    DEFAULT_BLOCK_CAP,
+    blocks_stage,
+    candidate_pairs_stage,
+    salt_blocks,
+)
+from yams_spark.operators.clustering import clusters_stage
+from yams_spark.operators.scoring import attach_pair_features, scored_pairs_stage
+from yams_spark.operators.signatures import signatures_stage
+
+STAGES = ["sign", "block", "pair", "score", "cluster_groups", "cluster_members"]
+
+METRICS_SCHEMA = (
+    "run_id string, stage string, partition_id int, block_id string, "
+    "pair_count long, score_histogram array<long>, rows_in long, "
+    "rows_out long, watermark_ts timestamp"
+)
+
+
+@dataclass
+class PipelineConfig:
+    threshold: float = 0.92  # dedupe.h:16
+    strategy: str = "keep-newest"  # dedupe.h:15
+    block_cap: int = DEFAULT_BLOCK_CAP
+    chunk_cfg: ChunkingConfig = field(default_factory=lambda: PAGE_CHUNKING)
+    checkpoint_dir: str | None = None
+    run_id: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.run_id:
+            self.run_id = uuid.uuid4().hex[:12]
+
+
+def _stage_path(cfg: PipelineConfig, stage: str) -> str:
+    assert cfg.checkpoint_dir
+    return os.path.join(cfg.checkpoint_dir, f"{stage}.parquet")
+
+
+def _watermark_path(cfg: PipelineConfig, stage: str) -> str:
+    assert cfg.checkpoint_dir
+    return os.path.join(cfg.checkpoint_dir, f"{stage}.watermark.json")
+
+
+def _stage_done(cfg: PipelineConfig, stage: str) -> bool:
+    return (
+        cfg.checkpoint_dir is not None
+        and os.path.exists(_stage_path(cfg, stage))
+        and os.path.exists(_watermark_path(cfg, stage))
+    )
+
+
+def _commit_stage(
+    spark: SparkSession, cfg: PipelineConfig, stage: str, df: DataFrame
+) -> DataFrame:
+    """Write stage output + watermark; return the durable re-read DataFrame."""
+    if cfg.checkpoint_dir is None:
+        return df
+    path = _stage_path(cfg, stage)
+    df.write.mode("overwrite").parquet(path)
+    with open(_watermark_path(cfg, stage), "w") as f:
+        json.dump(
+            {
+                "run_id": cfg.run_id,
+                "stage": stage,
+                "watermark_ts": datetime.now(timezone.utc).isoformat(),
+            },
+            f,
+        )
+    return spark.read.parquet(path)
+
+
+def _partition_metrics(df: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """Per-partition lineage rows (rows_out per partition + watermark)."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows_out"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("partition_id"),
+            F.lit(None).cast("string").alias("block_id"),
+            F.lit(None).cast("long").alias("pair_count"),
+            F.lit(None).cast("array<long>").alias("score_histogram"),
+            F.lit(None).cast("long").alias("rows_in"),
+            F.col("rows_out").cast("long"),
+            F.current_timestamp().alias("watermark_ts"),
+        )
+    )
+
+
+def _score_histogram_metrics(scored: DataFrame, run_id: str) -> DataFrame:
+    """20-bin histogram of pair scores over [0,1] as a lineage row."""
+    binned = scored.withColumn(
+        "bin", F.least(F.floor(F.col("pair_score") * 20).cast("int"), F.lit(19))
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    hist = counts.groupBy().agg(
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c")).alias("m")
+    )
+    hist = hist.select(
+        F.array(*[F.coalesce(F.col("m").getItem(i), F.lit(0)) for i in range(20)]).alias(
+            "score_histogram"
+        )
+    )
+    total = scored.count()
+    return hist.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit("score").alias("stage"),
+        F.lit(-1).alias("partition_id"),
+        F.lit(None).cast("string").alias("block_id"),
+        F.lit(total).cast("long").alias("pair_count"),
+        F.col("score_histogram"),
+        F.lit(None).cast("long").alias("rows_in"),
+        F.lit(total).cast("long").alias("rows_out"),
+        F.current_timestamp().alias("watermark_ts"),
+    )
+
+
+def _append_metrics(cfg: PipelineConfig, metrics: DataFrame) -> None:
+    if cfg.checkpoint_dir is None:
+        return
+    metrics.write.mode("append").parquet(os.path.join(cfg.checkpoint_dir, "metrics.parquet"))
+
+
+def run_pipeline(
+    spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | None = None
+) -> dict[str, DataFrame]:
+    """Full ER pipeline. Returns every stage's DataFrame keyed by stage name."""
+    cfg = cfg or PipelineConfig()
+    out: dict[str, DataFrame] = {}
+
+    # --- sign (extract + signatures; narrow, no shuffle) ---
+    if _stage_done(cfg, "sign"):
+        signatures = spark.read.parquet(_stage_path(cfg, "sign"))
+    else:
+        signatures = signatures_stage(pages, cfg.chunk_cfg)
+        signatures = _commit_stage(spark, cfg, "sign", signatures)
+        _append_metrics(cfg, _partition_metrics(signatures, cfg.run_id, "sign"))
+    out["signatures"] = signatures
+
+    # --- block (+salting report) ---
+    if _stage_done(cfg, "block"):
+        blocks = spark.read.parquet(_stage_path(cfg, "block"))
+    else:
+        raw_blocks = blocks_stage(signatures)
+        blocks, oversize = salt_blocks(raw_blocks, cfg.block_cap)
+        blocks = _commit_stage(spark, cfg, "block", blocks)
+        _append_metrics(cfg, _partition_metrics(blocks, cfg.run_id, "block"))
+        if cfg.checkpoint_dir is not None:
+            oversize_rows = oversize.select(
+                F.lit(cfg.run_id).alias("run_id"),
+                F.lit("block_oversize").alias("stage"),
+                F.lit(-1).alias("partition_id"),
+                F.col("block_key").alias("block_id"),
+                F.col("dropped_pairs_upper_bound").alias("pair_count"),
+                F.lit(None).cast("array<long>").alias("score_histogram"),
+                F.col("block_size").cast("long").alias("rows_in"),
+                F.col("n_salt").cast("long").alias("rows_out"),
+                F.current_timestamp().alias("watermark_ts"),
+            )
+            _append_metrics(cfg, oversize_rows)
+    out["blocks"] = blocks
+
+    # --- pair ---
+    if _stage_done(cfg, "pair"):
+        pairs = spark.read.parquet(_stage_path(cfg, "pair"))
+    else:
+        pairs = candidate_pairs_stage(blocks)
+        pairs = _commit_stage(spark, cfg, "pair", pairs)
+        _append_metrics(cfg, _partition_metrics(pairs, cfg.run_id, "pair"))
+    out["pairs"] = pairs
+
+    # --- score ---
+    if _stage_done(cfg, "score"):
+        scored = spark.read.parquet(_stage_path(cfg, "score"))
+    else:
+        scored = scored_pairs_stage(
+            attach_pair_features(pairs, signatures), cfg.threshold
+        )
+        scored = _commit_stage(spark, cfg, "score", scored)
+        if cfg.checkpoint_dir is not None:
+            _append_metrics(cfg, _score_histogram_metrics(scored, cfg.run_id))
+    out["scored_pairs"] = scored
+
+    # --- cluster + publish ---
+    accepted = scored.where(F.col("accepted"))
+    if _stage_done(cfg, "cluster_groups") and _stage_done(cfg, "cluster_members"):
+        clusters = spark.read.parquet(_stage_path(cfg, "cluster_groups"))
+        members = spark.read.parquet(_stage_path(cfg, "cluster_members"))
+    else:
+        clusters, members = clusters_stage(
+            signatures, accepted, cfg.threshold, cfg.strategy
+        )
+        clusters = _commit_stage(spark, cfg, "cluster_groups", clusters)
+        members = _commit_stage(spark, cfg, "cluster_members", members)
+        _append_metrics(cfg, _partition_metrics(clusters, cfg.run_id, "cluster_groups"))
+        _append_metrics(cfg, _partition_metrics(members, cfg.run_id, "cluster_members"))
+    out["clusters"] = clusters
+    out["members"] = members
+
+    if cfg.checkpoint_dir is not None:
+        out["metrics"] = spark.read.parquet(
+            os.path.join(cfg.checkpoint_dir, "metrics.parquet")
+        )
+    return out

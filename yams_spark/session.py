@@ -41,4 +41,28 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make yams_spark importable on executors regardless of driver cwd —
+    the addPyFile equivalent of ``spark-submit --py-files yams_spark.zip``."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"yams_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if name.endswith(".py"):
+                        full = os.path.join(root, name)
+                        rel = os.path.join(
+                            "yams_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
