@@ -472,42 +472,26 @@ _DOT_SPARK = (
 
 
 def q19_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k ANN baseline (EmbeddingService.cpp:555-610)."""
+    """Brute-force cosine top-k ANN baseline (EmbeddingService.cpp:555-610),
+    broadcast-matmul pattern (no per-row JVM lambda evaluation)."""
+    _ship_package(spark)
+    from yams_spark.operators.ann import cosine_topk
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    joined = q.join(F.broadcast(e.select("vec_id", "embedding")), F.col("vec_id") != F.col("query_id"))
-    dot = F.expr(_DOT_SPARK.format(a="qe", b="embedding"))
-    na = F.sqrt(F.expr(_DOT_SPARK.format(a="qe", b="qe")))
-    nb = F.sqrt(F.expr(_DOT_SPARK.format(a="embedding", b="embedding")))
-    scored = joined.select(
-        "query_id", "vec_id", F.round(dot / (na * nb), 5).cast("double").alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 5)
-        .select("query_id", "vec_id", "cosine", "rk")
-    )
+    return cosine_topk(spark, e, q, k=5)
 
 
 def q20_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (training-data dedup op)."""
+    """Embedding-cosine near-dup pairs (training-data dedup op):
+    broadcast-matmul with per-batch top-n pruning before the global top-n."""
+    _ship_package(spark)
+    from yams_spark.operators.ann import near_dup_pairs_topn
+
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    dot = F.expr(_DOT_SPARK.format(a="ea", b="eb"))
-    na = F.sqrt(F.expr(_DOT_SPARK.format(a="ea", b="ea")))
-    nb = F.sqrt(F.expr(_DOT_SPARK.format(a="eb", b="eb")))
-    return (
-        joined.select(
-            "id_a", "id_b", F.round(dot / (na * nb), 5).cast("double").alias("cosine")
-        )
-        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-        .limit(100)
-    )
+    return near_dup_pairs_topn(spark, e, n=100)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,165 @@
+"""Benchmark harness: headline ER pipeline + operator queries.
+
+Prints ONE JSON line:
+  {"metric": "er_pipeline_wall_sec", "value": <sec at full cores>,
+   "unit": "sec", "queries": {...per-query seconds...}, "sf": <sf>,
+   "pages": ..., "clusters": ..., "docs_per_sec": ...,
+   "scaling": {"cores_small": N, "cores_large": 4N,
+               "pages_per_sec_small": ..., "pages_per_sec_large": ...,
+               "efficiency": thr_4N / (4 * thr_N)}}
+
+Scaling evidence (north rule: throughput efficiency >=0.8 from N to 4N
+executors): the same pipeline runs at local[N] and local[4N] on identical
+input, each in its OWN subprocess (fresh JVM — successive SparkContexts in
+one JVM skew timings), with python workers warmed before the timed run
+(cluster executors are long-lived; worker spin-up is not pipeline work).
+N defaults to 2 (so both runs sit inside the machine's memory-bandwidth
+headroom; beyond ~8 local cores the byte-churn kernels saturate DRAM
+bandwidth — see BENCH/BASELINE.md). A full-core run is also reported as
+the headline throughput.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+     SPARK_GRAFT_CPUS (default 32)
+     YAMS_BENCH_REPLICATE (families per document, default 16)
+     YAMS_BENCH_SCALING_CORES ("small,large", default "2,8")
+     YAMS_BENCH_SKIP_SCALING=1 (only the full-core run)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_RUN_SNIPPET = """
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from yams_spark.session import get_spark
+from yams_spark.plans.er_pipeline import run_pipeline, PipelineConfig
+from pyspark.sql import functions as F
+cores = {cores}
+spark = get_spark(app_name="bench", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(2 * cores, 8))
+def _wf(it):
+    for pdf in it:
+        yield pdf
+spark.range(0, 10000, 1, 2 * cores).mapInPandas(_wf, "id long").groupBy(
+    (F.col("id") % 7).alias("k")).count().collect()
+pages = spark.read.parquet({pages_path!r})
+n_pages = pages.count()
+t0 = time.time()
+out = run_pipeline(spark, pages, PipelineConfig())
+n_clusters = out["clusters"].count()
+n_members = out["members"].count()
+wall = time.time() - t0
+print("BENCH_RESULT " + json.dumps(
+    {{"wall": wall, "pages": n_pages, "clusters": n_clusters,
+      "members": n_members}}))
+spark.stop()
+"""
+
+
+def _pipeline_subprocess(cores: int, pages_path: str) -> dict:
+    env = dict(os.environ)
+    env.setdefault("OMP_NUM_THREADS", "1")
+    env.setdefault("OPENBLAS_NUM_THREADS", "1")
+    code = _RUN_SNIPPET.format(repo=_REPO, cores=cores, pages_path=pages_path)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    raise RuntimeError(
+        f"bench subprocess (cores={cores}) failed:\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("YAMS_BENCH_REPLICATE", "16"))
+    small, large = (
+        int(x) for x in os.environ.get("YAMS_BENCH_SCALING_CORES", "2,8").split(",")
+    )
+    skip_scaling = os.environ.get("YAMS_BENCH_SKIP_SCALING") == "1"
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+
+    from yams_spark.session import get_spark
+    from yams_spark.sources.pages import materialize_pages
+
+    # generate + cache pages once (corpus construction, not pipeline work)
+    pages_dir = f"/tmp/yams_bench_pages_{sf_tag}_r{replicate}"
+    gen = get_spark(app_name="bench_gen", master=f"local[{cpus}]",
+                    shuffle_partitions=2 * cpus)
+    materialize_pages(gen, sf_dir, pages_dir, replicate=replicate)
+    gen.stop()
+    pages_path = os.path.join(pages_dir, "pages.parquet")
+
+    queries: dict[str, float] = {}
+    scaling: dict[str, float | int] = {}
+
+    if not skip_scaling:
+        r_small = _pipeline_subprocess(small, pages_path)
+        r_large = _pipeline_subprocess(large, pages_path)
+        thr_s = r_small["pages"] / r_small["wall"]
+        thr_l = r_large["pages"] / r_large["wall"]
+        queries[f"er_pipeline_local{small}"] = round(r_small["wall"], 3)
+        queries[f"er_pipeline_local{large}"] = round(r_large["wall"], 3)
+        scaling = {
+            "cores_small": small,
+            "cores_large": large,
+            "pages_per_sec_small": round(thr_s, 2),
+            "pages_per_sec_large": round(thr_l, 2),
+            "efficiency": round(thr_l / (thr_s * (large / small)), 4),
+        }
+
+    r_full = _pipeline_subprocess(cpus, pages_path)
+    queries[f"er_pipeline_local{cpus}"] = round(r_full["wall"], 3)
+    thr_full = r_full["pages"] / r_full["wall"]
+
+    # headline operator queries at full cores (fresh session)
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench_queries", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    try:
+        import time as _time
+
+        qs = entrymod.queries()
+        for name in [
+            "q06_topk_per_group", "q09_term_stats", "q11_bm25",
+            "q12_fusion_rrf", "q13_tree_diff", "q17_quality_score",
+            "q19_cosine_topk", "q20_embedding_near_dup",
+        ]:
+            t0 = _time.time()
+            qs[name](spark, sf_dir).count()
+            queries[name] = round(_time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "er_pipeline_wall_sec",
+        "value": round(r_full["wall"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "pages": r_full["pages"],
+        "clusters": r_full["clusters"],
+        "docs_per_sec": round(thr_full, 2),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,8 +24,9 @@ def _uf_labels(nodes: list[str], edges: list[tuple[str, str]]) -> dict[str, str]
     return {n: min(members) for members in comp.values() for n in members}
 
 
+@pytest.mark.parametrize("driver_max", [0, 2_000_000])  # distributed vs union-find path
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 30, 20), (2, 100, 80), (3, 200, 300), (4, 50, 0)])
-def test_cc_matches_union_find(spark, seed: int, n_nodes: int, n_edges: int) -> None:
+def test_cc_matches_union_find(spark, seed: int, n_nodes: int, n_edges: int, driver_max: int) -> None:
     rng = random.Random(seed)
     nodes = [f"n{i:04d}" for i in range(n_nodes)]
     edges = [
@@ -37,7 +38,10 @@ def test_cc_matches_union_find(spark, seed: int, n_nodes: int, n_edges: int) -> 
     # distributed CC only sees edge endpoints; singletons label themselves
     if edges:
         df = spark.createDataFrame(edges, ["url_a", "url_b"])
-        got = {r["url"]: r["component"] for r in connected_components(df).collect()}
+        got = {
+            r["url"]: r["component"]
+            for r in connected_components(df, driver_max_edges=driver_max).collect()
+        }
     else:
         got = {}
     for n in nodes:

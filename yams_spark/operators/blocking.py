@@ -26,8 +26,20 @@ from pyspark.sql import functions as F
 DEFAULT_BLOCK_CAP = 64
 
 
-def blocks_stage(signatures: DataFrame) -> DataFrame:
+#: default blocking families. SimHash 16-bit bands are OFF by default: at
+#: n docs each 16-bit band bucket holds ~n/65536 docs, so beyond ~10^5 docs
+#: the bands mostly emit random (gate-rejected) candidate pairs — at this
+#: repo's bench scale they were 78% of all pairs and ~0% of accepted ones.
+#: Hamming distance over the full simhash64 stays as a pair *feature*; a
+#: web-scale simhash blocker needs multi-probe tables + hamming verify.
+DEFAULT_FAMILIES = ("exact", "chunk", "minhash", "title")
+
+
+def blocks_stage(
+    signatures: DataFrame, families: tuple[str, ...] = DEFAULT_FAMILIES
+) -> DataFrame:
     """signatures -> (url, block_key, family), one row per key."""
+    parts = []
     exact = signatures.select(
         "url",
         F.concat(F.lit("tx:"), F.col("text_hash")).alias("block_key"),
@@ -48,7 +60,15 @@ def blocks_stage(signatures: DataFrame) -> DataFrame:
         signatures.where(F.col("title_key").isNotNull())
         .select("url", F.col("title_key").alias("block_key"), F.lit("title").alias("family"))
     )
-    return exact.unionByName(chunk).unionByName(minhash).unionByName(simhash).unionByName(title)
+    by_name = {
+        "exact": exact, "chunk": chunk, "minhash": minhash,
+        "simhash": simhash, "title": title,
+    }
+    parts = [by_name[f] for f in families]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def salt_blocks(blocks: DataFrame, block_cap: int = DEFAULT_BLOCK_CAP) -> tuple[DataFrame, DataFrame]:
@@ -59,8 +79,13 @@ def salt_blocks(blocks: DataFrame, block_cap: int = DEFAULT_BLOCK_CAP) -> tuple[
     ``oversize_report`` lists every truncated key with its size and salt
     fan-out (lineage: dropped cross-sub-block pairs are accounted for).
     """
-    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
-    withsize = blocks.join(sizes, "block_key")
+    from pyspark.sql import Window
+
+    # single shuffle: window count over block_key (vs groupBy + join back)
+    withsize = blocks.withColumn(
+        "block_size", F.count("*").over(Window.partitionBy("block_key"))
+    )
+    sizes = withsize.select("block_key", "block_size").dropDuplicates(["block_key"])
     n_salt = F.ceil(F.col("block_size") / F.lit(block_cap)).cast("int")
     salted = withsize.withColumn(
         "block_key",

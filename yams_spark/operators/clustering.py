@@ -50,8 +50,58 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relinked.unionAll(self_edges).distinct()
 
 
+#: below this many edges the transitive closure runs as a driver-side
+#: union-find (a few MB; ~100x faster than iterated shuffles on small
+#: graphs). Above it, the distributed large-star/small-star path runs —
+#: that's the only option at 10^12-document scale. Both label components
+#: by min url, so results are identical (property-tested).
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Collect small edge sets and close them with path-compressed
+    union-find (the reference's own structure, dedupe.cpp:135-155).
+    Arrow in both directions — py4j row serialization is ~10x slower."""
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp: dict[str, list[str]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    spark = edges.sparkSession
+    if not comp:
+        return spark.createDataFrame([], "url string, component string")
+    urls: list[str] = []
+    labels: list[str] = []
+    for members in comp.values():
+        root = min(members)
+        urls.extend(members)
+        labels.extend([root] * len(members))
+    out = pd.DataFrame({"url": urls, "component": labels})
+    return spark.createDataFrame(out)
+
+
 def connected_components(
-    edges: DataFrame, src: str = "url_a", dst: str = "url_b", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "url_a",
+    dst: str = "url_b",
+    max_iter: int = 50,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges -> (url, component) where component = min url in the component.
 
@@ -62,6 +112,9 @@ def connected_components(
         F.col("src") != F.col("dst")
     ).distinct()
     e = e.localCheckpoint(eager=True)
+
+    if driver_max_edges and e.count() <= driver_max_edges:
+        return _driver_union_find(e)
 
     prev_sig = None
     for _ in range(max_iter):
@@ -94,102 +147,124 @@ def clusters_stage(
     strategy: str = "keep-newest",
 ) -> tuple[DataFrame, DataFrame]:
     """Publish (clusters, members) mirroring semantic_duplicate_groups /
-    _members (migration.cpp:2598-2663; trace dedupe.cpp:217-350)."""
+    _members (migration.cpp:2598-2663; trace dedupe.cpp:217-350).
+
+    After labeling, members and pairs are packed per component with
+    collect_list and the whole publication (canonical selection, group_key,
+    max_pair_score, direct-pair member metrics) runs in one Arrow-batched
+    mapInPandas pass — plain python per component, no per-group pandas
+    frame construction, two shuffles total.
+    """
+    import pandas as pd
+
     labels = connected_components(accepted_pairs)
 
-    sig_slim = signatures.select("url", "warc_ts", "size", "doc_hash")
-    labeled = sig_slim.join(labels, "url", "inner")  # only linked nodes form groups
-
-    sizes = labeled.groupBy("component").agg(F.count("*").alias("member_count"))
-    labeled = labeled.join(sizes.where(F.col("member_count") >= 2), "component")
-
-    # canonical selection windows (dedupe.cpp:223-240), url asc tie-break
-    if strategy == "keep-oldest":
-        order = [F.col("warc_ts").asc(), F.col("url").asc()]
-    elif strategy == "keep-largest":
-        order = [F.col("size").desc(), F.col("url").asc()]
-    else:
-        order = [F.col("warc_ts").desc(), F.col("url").asc()]
-    w = Window.partitionBy("component").orderBy(*order)
-    ranked = labeled.withColumn("rk", F.row_number().over(w))
-
-    # group_key: sorted member doc hashes (dedupe.cpp:279-287)
-    group_keys = (
-        ranked.groupBy("component")
-        .agg(F.array_join(F.array_sort(F.collect_list("doc_hash")), ",").alias("hash_list"))
-        .select(
-            "component",
-            F.concat(
-                F.lit(f"semantic:{strategy}:{threshold:.3f}:"), F.col("hash_list")
-            ).alias("group_key"),
+    members_packed = (
+        signatures.select("url", "warc_ts", "size", "doc_hash")
+        .join(labels, "url", "inner")
+        .groupBy("component")
+        .agg(F.collect_list(F.struct("url", "warc_ts", "size", "doc_hash")).alias("mems"))
+    )
+    # both endpoints of an accepted edge share a component by construction;
+    # alias label columns so the self-join lineage isn't ambiguous
+    labels_for_pairs = labels.select(
+        F.col("url").alias("url_a"), F.col("component").alias("comp")
+    )
+    pairs_packed = (
+        accepted_pairs.select(
+            "url_a", "url_b", "cosine", "title_overlap", "path_overlap", "pair_score"
+        )
+        .join(labels_for_pairs, "url_a")
+        .groupBy("comp")
+        .agg(
+            F.collect_list(
+                F.struct("url_a", "url_b", "cosine", "title_overlap",
+                         "path_overlap", "pair_score")
+            ).alias("prs")
         )
     )
+    packed = members_packed.join(
+        pairs_packed, members_packed["component"] == pairs_packed["comp"], "left"
+    ).select("component", "mems", "prs")
 
-    # max accepted pair score within the group (dedupe.cpp:269-277)
-    pair_comp = (
-        accepted_pairs.join(labels.withColumnRenamed("url", "url_a"), "url_a")
-        .withColumnRenamed("component", "comp_a")
-        .join(labels.withColumnRenamed("url", "url_b"), "url_b")
-        .where(F.col("comp_a") == F.col("component"))
-        .select(F.col("comp_a").alias("component"), "url_a", "url_b",
-                "cosine", "title_overlap", "path_overlap", "pair_score")
+    out_schema = (
+        "component string, group_key string, canonical_url string, "
+        "member_count long, max_pair_score double, url string, role string, "
+        "similarity_to_canonical double, title_overlap double, "
+        "path_overlap double, pair_score double"
     )
-    max_scores = pair_comp.groupBy("component").agg(
-        F.max("pair_score").alias("max_pair_score")
-    )
+    prefix = f"semantic:{strategy}:{threshold:.3f}:"
 
-    canon = ranked.where(F.col("rk") == 1).select(
-        "component", F.col("url").alias("canonical_url")
-    )
+    def publish(iterator):
+        for pdf in iterator:
+            rows = []
+            for component, mems, prs in zip(pdf["component"], pdf["mems"], pdf["prs"]):
+                mems = list(mems)
+                if len(mems) < 2:
+                    continue
+                # canonical selection (dedupe.cpp:223-240), url asc tie-break
+                mems.sort(key=lambda r: r["url"])
+                if strategy == "keep-oldest":
+                    mems.sort(key=lambda r: r["warc_ts"])
+                elif strategy == "keep-largest":
+                    mems.sort(key=lambda r: r["size"], reverse=True)
+                else:
+                    mems.sort(key=lambda r: r["warc_ts"], reverse=True)
+                canonical_url = mems[0]["url"]
+
+                group_key = prefix + ",".join(sorted(m["doc_hash"] for m in mems))
+                pair_list = list(prs) if prs is not None else []
+                max_pair_score = (
+                    max(p["pair_score"] for p in pair_list) if pair_list else 0.0
+                )
+
+                # direct-canonical pair metrics (dedupe.cpp:324-337)
+                direct = {}
+                for p in pair_list:
+                    if p["url_a"] == canonical_url:
+                        direct.setdefault(p["url_b"], p)
+                    elif p["url_b"] == canonical_url:
+                        direct.setdefault(p["url_a"], p)
+
+                n = len(mems)
+                for m in mems:
+                    d = direct.get(m["url"])
+                    rows.append(
+                        (
+                            component, group_key, canonical_url, n,
+                            max_pair_score, m["url"],
+                            "canonical" if m["url"] == canonical_url else "duplicate",
+                            d["cosine"] if d is not None else None,
+                            d["title_overlap"] if d is not None else None,
+                            d["path_overlap"] if d is not None else None,
+                            d["pair_score"] if d is not None else None,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "component", "group_key", "canonical_url", "member_count",
+                        "max_pair_score", "url", "role", "similarity_to_canonical",
+                        "title_overlap", "path_overlap", "pair_score",
+                    ],
+                )
+
+    full = packed.mapInPandas(publish, schema=out_schema).persist()
 
     clusters = (
-        group_keys.join(canon, "component")
-        .join(sizes.where(F.col("member_count") >= 2), "component")
-        .join(max_scores, "component", "left")
-        .select(
+        full.select(
             "group_key",
             F.lit(ALGORITHM_VERSION).alias("algorithm_version"),
             "canonical_url",
-            F.col("member_count").cast("long").alias("member_count"),
-            F.coalesce("max_pair_score", F.lit(0.0)).alias("max_pair_score"),
+            "member_count",
+            "max_pair_score",
             F.lit(threshold).alias("threshold"),
             "component",
-        )
+        ).dropDuplicates(["group_key"])
     )
-
-    # members with direct-canonical pair metrics (dedupe.cpp:324-337)
-    canon_pairs = (
-        pair_comp.join(canon, "component")
-        .where(
-            (F.col("url_a") == F.col("canonical_url"))
-            | (F.col("url_b") == F.col("canonical_url"))
-        )
-        .select(
-            "component",
-            F.when(F.col("url_a") == F.col("canonical_url"), F.col("url_b"))
-            .otherwise(F.col("url_a"))
-            .alias("url"),
-            F.col("cosine").alias("similarity_to_canonical"),
-            "title_overlap",
-            "path_overlap",
-            F.col("pair_score").alias("direct_pair_score"),
-        )
-    )
-    members = (
-        ranked.join(group_keys, "component")
-        .join(canon, "component")
-        .join(canon_pairs, ["component", "url"], "left")
-        .select(
-            "group_key",
-            "url",
-            F.when(F.col("url") == F.col("canonical_url"), F.lit("canonical"))
-            .otherwise(F.lit("duplicate"))
-            .alias("role"),
-            "similarity_to_canonical",
-            "title_overlap",
-            "path_overlap",
-            F.col("direct_pair_score").alias("pair_score"),
-            "component",
-        )
+    members = full.select(
+        "group_key", "url", "role", "similarity_to_canonical",
+        "title_overlap", "path_overlap", "pair_score", "component",
     )
     return clusters, members

@@ -81,18 +81,18 @@ def scored_pairs_stage(
             accepted = (cosine >= threshold) & (
                 (title_overlap > 0.0) | (path_overlap > 0.0) | (cosine >= 0.975)
             )
-            if with_extra_features:
-                jw = np.fromiter(
-                    (jaro_winkler(x, y) for x, y in zip(ta, tb)), dtype=np.float64, count=n
-                )
-                lev = np.fromiter(
-                    (levenshtein(x, y) for x, y in zip(pdf["url_a"], pdf["url_b"])),
-                    dtype=np.int32,
-                    count=n,
-                )
-            else:
-                jw = np.zeros(n)
-                lev = np.zeros(n, dtype=np.int32)
+            # extra (non-gating) features: computed only for accepted pairs —
+            # the quadratic-DP Levenshtein over every rejected candidate would
+            # dominate the stage at scale
+            jw = np.zeros(n)
+            lev = np.zeros(n, dtype=np.int32)
+            if with_extra_features and accepted.any():
+                idx = np.nonzero(accepted)[0]
+                ua_v = pdf["url_a"].to_numpy()
+                ub_v = pdf["url_b"].to_numpy()
+                for i in idx:
+                    jw[i] = jaro_winkler(ta[i], tb[i])
+                    lev[i] = levenshtein(ua_v[i], ub_v[i])
             ham = hamming64_array(
                 pdf["simhash64_a"].to_numpy().astype(np.int64),
                 pdf["simhash64_b"].to_numpy().astype(np.int64),

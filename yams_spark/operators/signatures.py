@@ -34,15 +34,23 @@ from yams_spark.functions.chunker import PAGE_CHUNKING, ChunkingConfig, chunk_da
 from yams_spark.functions.html_extract import extract_text_from_html, extract_title
 
 EMBED_SHINGLE = 3  # embedding features = 3-gram word shingles
-TITLE_KEY_TOKENS = 3  # blocking family 'title': first 3 sorted title tokens
+TITLE_KEY_TOKENS = 10  # blocking family 'title': sorted title token set (capped)
 
 
-def embed_tokens(norm_text: str) -> list[str]:
-    toks = norm_text.split()
-    return sketches.shingles(toks, EMBED_SHINGLE)
+def embed_hashes(tokens: list[str]):
+    """(values, counts) of 3-gram shingle hashes — the embedding features."""
+    import numpy as np
+
+    return np.unique(
+        sketches.kgram_hashes(sketches.hash_tokens(tokens), EMBED_SHINGLE),
+        return_counts=True,
+    )
 
 
 def title_block_key(title_norm: str) -> str | None:
+    """Exact normalized-title-set blocking key: the whole sorted token set
+    (order-invariant, so title token swaps still collide); capped to bound
+    key size. A prefix-only key over-collides badly on small vocabularies."""
     toks = sorted(set(title_norm.split()))[:TITLE_KEY_TOKENS]
     if not toks:
         return None
@@ -64,9 +72,15 @@ def compute_signature_row(
     text_norm = textnorm.normalize_text_for_tokens(text)
     tokens = text_norm.split()
 
-    minhash_sig = sketches.minhash_signature(tokens)
-    emb = sketches.feature_hash_embedding(embed_tokens(text_norm))
-    sim = sketches.simhash64(sketches.shingles(tokens, EMBED_SHINGLE))
+    th = sketches.hash_tokens(tokens)  # hash each token once
+    minhash_sig = sketches.minhash_signature_from_hashes(
+        sketches.kgram_hashes(th, sketches.SHINGLE_SIZE)
+    )
+    g3_vals, g3_counts = np.unique(
+        sketches.kgram_hashes(th, EMBED_SHINGLE), return_counts=True
+    )
+    emb = sketches.feature_hash_embedding_from_hashes(g3_vals, g3_counts)
+    sim = sketches.simhash64_from_hashes(g3_vals, g3_counts)
 
     return {
         "url": url,

@@ -37,13 +37,24 @@ from yams_spark.operators.signatures import compute_signature_row
 ALGORITHM_VERSION = "semantic-dedupe-v1"
 
 
-def blocking_keys(sig: dict) -> list[tuple[str, str]]:
-    """(family, key) list for one signature row — shared blocking contract."""
-    keys: list[tuple[str, str]] = [("exact", "tx:" + sig["text_hash"])]
-    keys += [("chunk", "ck:" + h) for h in sig["chunk_hashes"]]
-    keys += [("minhash", k) for k in sig["minhash_bands"]]
-    keys += [("simhash", k) for k in sig["simhash_bands"]]
-    if sig["title_key"]:
+DEFAULT_FAMILIES = ("exact", "chunk", "minhash", "title")
+
+
+def blocking_keys(
+    sig: dict, families: tuple[str, ...] = DEFAULT_FAMILIES
+) -> list[tuple[str, str]]:
+    """(family, key) list for one signature row — shared blocking contract
+    (must mirror operators.blocking.blocks_stage / DEFAULT_FAMILIES)."""
+    keys: list[tuple[str, str]] = []
+    if "exact" in families:
+        keys.append(("exact", "tx:" + sig["text_hash"]))
+    if "chunk" in families:
+        keys += [("chunk", "ck:" + h) for h in sig["chunk_hashes"]]
+    if "minhash" in families:
+        keys += [("minhash", k) for k in sig["minhash_bands"]]
+    if "simhash" in families:
+        keys += [("simhash", k) for k in sig["simhash_bands"]]
+    if "title" in families and sig["title_key"]:
         keys.append(("title", sig["title_key"]))
     return keys
 

@@ -156,11 +156,21 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
     out: dict[str, DataFrame] = {}
 
+    # A small-file input (one parquet split) would serialize the extraction
+    # UDF; at 100TB there are plenty of splits and this no-ops.
+    par = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < par:
+        pages = pages.repartition(par * 2)
+
     # --- sign (extract + signatures; narrow, no shuffle) ---
     if _stage_done(cfg, "sign"):
         signatures = spark.read.parquet(_stage_path(cfg, "sign"))
     else:
         signatures = signatures_stage(pages, cfg.chunk_cfg)
+        if cfg.checkpoint_dir is None:
+            # several downstream branches (blocks, pair-feature joins,
+            # cluster windows) would otherwise re-run the extraction UDF
+            signatures = signatures.persist()
         signatures = _commit_stage(spark, cfg, "sign", signatures)
         _append_metrics(cfg, _partition_metrics(signatures, cfg.run_id, "sign"))
     out["signatures"] = signatures
@@ -204,6 +214,8 @@ def run_pipeline(
         scored = scored_pairs_stage(
             attach_pair_features(pairs, signatures), cfg.threshold
         )
+        if cfg.checkpoint_dir is None:
+            scored = scored.persist()
         scored = _commit_stage(spark, cfg, "score", scored)
         if cfg.checkpoint_dir is not None:
             _append_metrics(cfg, _score_histogram_metrics(scored, cfg.run_id))
