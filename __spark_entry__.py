@@ -494,6 +494,225 @@ def q20_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_topn(spark, e, n=100)
 
 
+def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
+    (search_vector_pipeline.cpp:100-140) over per-user event values."""
+    _ship_package(spark)
+    from yams_spark.operators.search import aggregate_chunk_scores
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_hash"), F.col("value").alias("score")
+    )
+    out = aggregate_chunk_scores(ev, doc_col="doc_hash", score_col="score",
+                                 mode="WEIGHTED_TOP_K_AVG")
+    return out.select(
+        F.col("doc_hash").alias("user_id"),
+        F.round("agg_score", 6).cast("double").alias("agg_score"),
+    )
+
+
+def q22_fusion_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-RRF evidence fusion with per-source best-rank/raw aggregation
+    (evidence_search_pipeline.cpp:49-56,184-229) over two synthetic signals."""
+    _ship_package(spark)
+    from yams_spark.operators.search import fuse_evidence
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w1 = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    w2 = Window.orderBy(F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).asc())
+    text = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("text").alias("source"),
+        F.least(F.col("n_chars") / F.lit(600.0), F.lit(1.0)).alias("score"),
+        (F.row_number().over(w1) - 1).alias("rank"),
+    )
+    vec = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("vector").alias("source"),
+        F.lit(0.5).alias("score"),
+        (F.row_number().over(w2) - 1).alias("rank"),
+    )
+    fused = fuse_evidence(text.unionByName(vec))
+    return (
+        fused.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("fused_score", 8).cast("double").alias("fused_score"),
+        )
+        .orderBy(F.col("fused_score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
+def q23_symspell_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy match: delete-variant candidate join + Levenshtein
+    verify, distance<=1, ordered by (distance, frequency desc)
+    (symspell_search.cpp:25-29,84-94)."""
+    _ship_package(spark)
+    from yams_spark.operators.fuzzy import symspell_match
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(_TOKENIZE_SPARK.format(col="text"))
+    )
+    vocab = (
+        d.select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("collection_frequency"))
+    )
+    queries_df = spark.createDataFrame(
+        [("tabel",), ("strem",), ("quer",), ("windoww",)], ["query_term"]
+    )
+    out = symspell_match(vocab, queries_df, max_distance=1)
+    return out.select(
+        "query_term", "term", F.col("distance").cast("int").alias("distance"),
+        F.col("frequency").alias("collection_frequency"),
+    )
+
+
+def q24_retrieve_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve/cat sink: manifest join + offset-ordered reassembly
+    (content_store_impl.cpp:379+), fixed 48-char chunks for the SQL oracle
+    (the Rabin-CDC manifest path is pytest-covered)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, cast(ceil(length(text) / 48.0) as int)), "
+                "i -> struct(i as i, substr(text, (i - 1) * 48 + 1, 48) as chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.i").alias("i"), F.col("c.chunk").alias("chunk"))
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(i, chunk))), x -> x.chunk), '')"
+        ).alias("rebuilt")
+    )
+    return (
+        rebuilt.join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.sha2(F.encode("rebuilt", "UTF-8"), 256).alias("rebuilt_hash"),
+            (F.col("rebuilt") == F.col("text")).alias("is_equal"),
+        )
+    )
+
+
+def q25_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (kg_edges.properties / evidence_json analog,
+    migration.cpp:893-895)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q26_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 4 smallest md5s of 3-gram shingles
+    (winnowing-style k-min sketch; training-data op)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(_TOKENIZE_SPARK.format(col="text"))
+    ).where(F.size("t") >= 3)
+    shingles = F.expr(
+        "transform(sequence(1, size(t) - 2), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(
+            "array_join(slice(array_sort(transform("
+            "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', "
+            "element_at(t, i + 1), ' ', element_at(t, i + 2))), s -> md5(s))), 1, 4), ',')"
+        ).alias("fingerprint"),
+    )
+
+
+def q27_minhash_band_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding as dedup grouping (md5-backed 8-perm variant so the
+    oracle is SQL-expressible; the production pipeline uses the 128-perm
+    BLAKE2 sketch): 4 bands x 2 rows over token sets, groups with >=2 docs."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "t", F.array_distinct(F.expr(_TOKENIZE_SPARK.format(col="text")))
+    ).where(F.size("t") >= 1)
+    mins = d.select(
+        "doc_id",
+        *[
+            F.array_min(F.expr(f"transform(t, s -> md5(concat('{i}:', s)))")).alias(f"m{i}")
+            for i in range(8)
+        ],
+    )
+    bands = None
+    for b in range(4):
+        part = mins.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("member_count"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("member_count") >= 2)
+    )
+
+
+def q28_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph BFS <= depth 2 (graph_query_service.cpp:521-605): customers ->
+    their orders -> suppliers on those orders, via iterative frontier joins."""
+    _ship_package(spark)
+    from yams_spark.operators.graph import bfs_traverse
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    e1 = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst"),
+    )
+    e2 = lineitem.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([("c1",), ("c2",)], ["node"])
+    return bfs_traverse(e1.unionByName(e2), seeds, max_depth=2)
+
+
+def q29_path_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-tree rollup: per path-prefix doc_count + size sum
+    (path_tree_nodes, migration.cpp:1677-1707; centroid is pytest-covered)."""
+    d = _t(spark, sf_dir, "documents")
+    pref = d.select(
+        "n_chars",
+        F.explode(
+            F.array(
+                F.concat(F.lit("/"), F.col("source")),
+                F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang")),
+            )
+        ).alias("prefix"),
+    )
+    return pref.groupBy("prefix").agg(
+        F.count("*").alias("doc_count"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def q30_metadata_kv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metadata_value_counts (migration.cpp:2402-2410): exploded KV counts."""
+    d = _t(spark, sf_dir, "documents")
+    kv = d.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("lang").alias("key"), F.col("lang").alias("value")),
+                F.struct(F.lit("source").alias("key"), F.col("source").alias("value")),
+            )
+        ).alias("kv")
+    ).select("kv.key", "kv.value")
+    return kv.groupBy("key", "value").agg(F.count("*").alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_list_scan_filters": q01_list_scan_filters,
@@ -516,6 +735,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_lang_id": q18_lang_id,
         "q19_cosine_topk": q19_cosine_topk,
         "q20_embedding_near_dup": q20_embedding_near_dup,
+        "q21_chunk_score_agg": q21_chunk_score_agg,
+        "q22_fusion_evidence": q22_fusion_evidence,
+        "q23_symspell_fuzzy": q23_symspell_fuzzy,
+        "q24_retrieve_reassemble": q24_retrieve_reassemble,
+        "q25_json_extract": q25_json_extract,
+        "q26_doc_fingerprint": q26_doc_fingerprint,
+        "q27_minhash_band_groups": q27_minhash_band_groups,
+        "q28_graph_bfs": q28_graph_bfs,
+        "q29_path_prefix_agg": q29_path_prefix_agg,
+        "q30_metadata_kv_counts": q30_metadata_kv_counts,
         "er_clusters": er_clusters,
         "er_members": er_members,
         "er_scored_pairs": er_scored_pairs,
@@ -723,5 +952,121 @@ def oracle_sql() -> dict[str, str]:
                        AS DOUBLE) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 100
+        """,
+        "q21_chunk_score_agg": """
+            WITH ranked AS (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY value DESC) AS rk
+                FROM events)
+            SELECT user_id,
+                   CAST(ROUND(SUM(value * pow(0.6, rk - 1)) / SUM(pow(0.6, rk - 1)), 6)
+                        AS DOUBLE) AS agg_score
+            FROM ranked WHERE rk <= 3 GROUP BY user_id
+        """,
+        "q22_fusion_evidence": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents),
+            ranked AS (
+                SELECT doc_id,
+                       LEAST(n_chars / 600.0, 1.0) AS raw1,
+                       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank1,
+                       ROW_NUMBER() OVER (ORDER BY sha256(CAST(doc_id AS VARCHAR)) ASC) - 1 AS rank2
+                FROM d)
+            SELECT doc_id,
+                   CAST(ROUND(
+                       0.70 * (1.0 / (12.0 + rank1 + 1.0)) * (1.0 + 0.5 * LEAST(GREATEST(raw1, 0.0), 1.0))
+                     + 0.30 * (1.0 / (12.0 + rank2 + 1.0)) * (1.0 + 0.5 * 0.5), 8) AS DOUBLE)
+                       AS fused_score
+            FROM ranked ORDER BY fused_score DESC, doc_id ASC LIMIT 30
+        """,
+        "q23_symspell_fuzzy": f"""
+            WITH vocab AS (
+                SELECT term, COUNT(*) AS collection_frequency FROM (
+                    SELECT doc_id, unnest({tok}) AS term FROM documents)
+                GROUP BY term),
+            q(query_term) AS (VALUES ('tabel'), ('strem'), ('quer'), ('windoww'))
+            SELECT q.query_term, vocab.term,
+                   CAST(levenshtein(q.query_term, vocab.term) AS INTEGER) AS distance,
+                   vocab.collection_frequency
+            FROM q CROSS JOIN vocab
+            WHERE levenshtein(q.query_term, vocab.term) <= 1
+        """,
+        "q24_retrieve_reassemble": """
+            WITH chunks AS (
+                SELECT doc_id, text, i, substr(text, (i - 1) * 48 + 1, 48) AS chunk
+                FROM documents, unnest(range(1, CAST(ceil(length(text) / 48.0) AS BIGINT) + 1)) AS u(i)),
+            rebuilt AS (
+                SELECT doc_id, MIN(text) AS text,
+                       string_agg(chunk, '' ORDER BY i) AS rebuilt
+                FROM chunks GROUP BY doc_id)
+            SELECT doc_id, sha256(rebuilt) AS rebuilt_hash,
+                   rebuilt = text AS is_equal
+            FROM rebuilt
+        """,
+        "q25_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "q26_doc_fingerprint": f"""
+            WITH d AS (SELECT doc_id, {tok} AS t FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS shingles
+                FROM d WHERE len(t) >= 3)
+            SELECT doc_id,
+                   array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:4], ',')
+                       AS fingerprint
+            FROM sh
+        """,
+        "q27_minhash_band_groups": f"""
+            WITH d AS (SELECT doc_id, list_distinct({tok}) AS t FROM documents),
+            sh AS (SELECT doc_id, unnest(t) AS s FROM d WHERE len(t) >= 1),
+            mins AS (
+                SELECT doc_id,
+                       MIN(md5('0:' || s)) AS m0, MIN(md5('1:' || s)) AS m1,
+                       MIN(md5('2:' || s)) AS m2, MIN(md5('3:' || s)) AS m3,
+                       MIN(md5('4:' || s)) AS m4, MIN(md5('5:' || s)) AS m5,
+                       MIN(md5('6:' || s)) AS m6, MIN(md5('7:' || s)) AS m7
+                FROM sh GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, 0 AS band, m0 || m1 AS band_key FROM mins
+                UNION ALL SELECT doc_id, 1, m2 || m3 FROM mins
+                UNION ALL SELECT doc_id, 2, m4 || m5 FROM mins
+                UNION ALL SELECT doc_id, 3, m6 || m7 FROM mins)
+            SELECT CAST(band AS INTEGER) AS band, band_key,
+                   COUNT(*) AS member_count, MIN(doc_id) AS min_doc_id
+            FROM bands GROUP BY band, band_key HAVING COUNT(*) >= 2
+        """,
+        "q28_graph_bfs": """
+            WITH seeds AS (SELECT 'c1' AS node UNION ALL SELECT 'c2'),
+            d1 AS (
+                SELECT DISTINCT 'o' || o_orderkey AS node FROM orders
+                WHERE o_custkey IN (1, 2)),
+            d2 AS (
+                SELECT DISTINCT 's' || l_suppkey AS node
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_custkey IN (1, 2))
+            SELECT node, CAST(0 AS INTEGER) AS depth FROM seeds
+            UNION ALL SELECT node, CAST(1 AS INTEGER) FROM d1
+            UNION ALL SELECT node, CAST(2 AS INTEGER) FROM d2
+        """,
+        "q29_path_prefix_agg": """
+            WITH pref AS (
+                SELECT n_chars, '/' || source AS prefix FROM documents
+                UNION ALL
+                SELECT n_chars, '/' || source || '/' || lang FROM documents)
+            SELECT prefix, COUNT(*) AS doc_count,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM pref GROUP BY prefix
+        """,
+        "q30_metadata_kv_counts": """
+            WITH kv AS (
+                SELECT 'lang' AS key, lang AS value FROM documents
+                UNION ALL
+                SELECT 'source', source FROM documents)
+            SELECT key, value, COUNT(*) AS n FROM kv GROUP BY key, value
         """,
     }

@@ -1,0 +1,236 @@
+"""Operator-level tests: search fusion/aggregation, graph BFS, symspell,
+retrieve roundtrip, cluster metrics, oversized split, multimodal plumbing —
+hand-computed goldens per the reference semantics cited in each module."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from yams_spark.operators import fuzzy, graph, multimodal, retrieve, search
+from yams_spark.operators.clustering import cluster_metrics, split_oversized_components
+
+
+# ---------- search ----------
+
+def test_fuse_evidence_reference_formula(spark) -> None:
+    # one doc, two sources; contribution = w * 1/(12+rank+1) * (1+0.5*clamp(raw))
+    comp = spark.createDataFrame(
+        [
+            ("d1", "text", 0.8, 0),
+            ("d1", "text", 0.6, 2),   # max raw=0.8, min rank=0
+            ("d1", "vector", 2.0, 1), # raw clamps to 1.0
+            ("d2", "vector", 0.5, 0),
+        ],
+        "doc_id string, source string, score double, rank int",
+    )
+    got = {r["doc_id"]: r["fused_score"] for r in search.fuse_evidence(comp).collect()}
+    d1 = 0.70 * (1 / 13.0) * 1.4 + 0.30 * (1 / 14.0) * 1.5
+    d2 = 0.30 * (1 / 13.0) * 1.25
+    assert got["d1"] == pytest.approx(d1, abs=1e-12)
+    assert got["d2"] == pytest.approx(d2, abs=1e-12)
+
+
+def test_fuse_evidence_lexical_floor(spark) -> None:
+    comp = spark.createDataFrame(
+        [("d1", "text", 0.5, 3)], "doc_id string, source string, score double, rank int"
+    )
+    base = search.fuse_evidence(comp).collect()[0]["fused_score"]
+    boosted = search.fuse_evidence(comp, lexical_floor_boost=0.2).collect()[0]["fused_score"]
+    assert boosted == pytest.approx(base + 0.2 / 4.0, abs=1e-12)
+
+
+def test_chunk_aggregation_modes(spark) -> None:
+    scores = spark.createDataFrame(
+        [("d", s) for s in [0.9, 0.8, 0.5, 0.1]], "doc_hash string, score double"
+    )
+    def agg(mode):
+        return search.aggregate_chunk_scores(scores, mode=mode).collect()[0]["agg_score"]
+    assert agg("MAX") == pytest.approx(0.9)
+    assert agg("SUM") == pytest.approx(1.0)  # capped (search_vector_pipeline.cpp:108-111)
+    assert agg("TOP_K_AVG") == pytest.approx((0.9 + 0.8 + 0.5) / 3)
+    # weights 1, 0.6, 0.36 normalized (k=3, decay 0.6)
+    want = (0.9 * 1 + 0.8 * 0.6 + 0.5 * 0.36) / (1 + 0.6 + 0.36)
+    assert agg("WEIGHTED_TOP_K_AVG") == pytest.approx(want, abs=1e-12)
+
+
+def test_normalize_bm25(spark) -> None:
+    scored = spark.createDataFrame(
+        [("a", -10.0), ("b", -5.0), ("c", 0.0)], "doc_id string, bm25 double"
+    )
+    got = {r["doc_id"]: r["norm_score"] for r in search.normalize_bm25(scored).collect()}
+    # min-max then 1-norm: best (most negative) -> 1.0
+    assert got["a"] == pytest.approx(1.0)
+    assert got["b"] == pytest.approx(0.5)
+    assert got["c"] == pytest.approx(0.0)
+    # degenerate range -> -raw/25 clamped
+    one = spark.createDataFrame([("a", -10.0)], "doc_id string, bm25 double")
+    assert search.normalize_bm25(one).collect()[0]["norm_score"] == pytest.approx(0.4)
+
+
+def test_topk_with_rescue_additive(spark) -> None:
+    rows = [(f"d{i}", 1.0 - i * 0.1, i % 2 == 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id string, fused_score double, eligible boolean")
+    out = search.topk_with_rescue(df, limit=3, rescue_slots=2, eligible_col="eligible")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # head d0,d1,d2 kept; rescue picks first eligible tail (d4, d6) — additive
+    assert ids == ["d0", "d1", "d2", "d4", "d6"]
+
+
+def test_cross_rerank_blend(spark) -> None:
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("b", 0.5, 1.0), ("c", 0.0, 0.5)],
+        "doc_id string, fused_score double, rerank_score double",
+    )
+    got = {r["doc_id"]: r["blended_score"] for r in search.cross_rerank_blend(df).collect()}
+    assert got["a"] == pytest.approx(0.3 * 0.0 + 0.7 * 1.0)
+    assert got["b"] == pytest.approx(0.3 * 1.0 + 0.7 * 0.5)
+
+
+def test_bm25_pipeline(spark, sf_dir) -> None:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = search.build_posting_lists(docs, "doc_id", "text")
+    scored = search.bm25_scores(postings, ["table", "query"])
+    assert scored.count() > 0
+    assert scored.where(F.col("bm25") <= 0).count() == 0
+
+
+# ---------- graph ----------
+
+def test_bfs_depths(spark) -> None:
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["depth"] for r in graph.bfs_traverse(edges, seeds, max_depth=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+    got3 = {r["node"]: r["depth"] for r in graph.bfs_traverse(edges, seeds, max_depth=3).collect()}
+    assert got3["d"] == 3
+
+
+def test_one_hop_overlap(spark) -> None:
+    edges = spark.createDataFrame([("q", "e1"), ("q", "e2")], "src string, dst string")
+    ents = spark.createDataFrame(
+        [("d1", "e1"), ("d1", "e2"), ("d1", "q"), ("d2", "zz")], "doc_id string, entity string"
+    )
+    got = {r["doc_id"]: r["kg_score"] for r in
+           graph.one_hop_overlap_scores(ents, ["q"], edges).collect()}
+    # hood = {q, e1, e2}; d1 ∩ = 3, union = 3 -> 1.0; d2 -> 0
+    assert got["d1"] == pytest.approx(1.0)
+    assert got["d2"] == 0.0
+
+
+def test_degree_stats(spark) -> None:
+    edges = spark.createDataFrame([("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r["node"]: (r["degree"], r["out_degree"], r["in_degree"])
+           for r in graph.node_degree_stats(edges).collect()}
+    assert got["a"] == (2, 2, 0)
+    assert got["c"] == (2, 0, 2)
+
+
+# ---------- fuzzy ----------
+
+def test_symspell_matches_brute_force(spark) -> None:
+    vocab_terms = ["table", "tables", "tale", "cable", "chair", "stream", "steam"]
+    vocab = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(vocab_terms)], "term string, collection_frequency long"
+    )
+    queries = spark.createDataFrame([("tabl",), ("stream",)], ["query_term"])
+    got = {
+        (r["query_term"], r["term"]): r["distance"]
+        for r in fuzzy.symspell_match(vocab, queries, max_distance=1).collect()
+    }
+    from yams_spark.functions.similarity import levenshtein
+    want = {
+        (q, t): levenshtein(q, t)
+        for q in ["tabl", "stream"]
+        for t in vocab_terms
+        if levenshtein(q, t) <= 1
+    }
+    assert got == want
+
+
+# ---------- retrieve ----------
+
+def test_retrieve_roundtrip(spark, sf_dir) -> None:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    manifest, chunks = retrieve.build_manifest(docs, id_col="url", content_col="text")
+    rebuilt = retrieve.retrieve(manifest, chunks)
+    orig = {r["url"]: r["text"] for r in docs.collect()}
+    for r in rebuilt.collect():
+        assert bytes(r["content"]).decode("utf-8") == orig[r["doc_id"]]
+    stats = retrieve.dedup_storage_stats(manifest).collect()[0]
+    assert stats["total_bytes"] >= stats["unique_bytes"]
+
+
+# ---------- cluster metrics + split ----------
+
+def test_cluster_metrics_hand_computed(spark) -> None:
+    # triangle a-b-c with weights .9/.8/.7 plus pair d-e weight .95
+    sigs = spark.createDataFrame(
+        [(u, f"h{u}", [1.0, 0.0]) for u in "abcde"],
+        "url string, doc_hash string, embedding array<float>",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.8), ("b", "c", 0.7), ("d", "e", 0.95)],
+        "url_a string, url_b string, pair_score double",
+    )
+    got = {r["component"]: r for r in cluster_metrics(sigs, pairs).collect()}
+    tri = got["a"]
+    assert tri["member_count"] == 3
+    assert tri["internal_edges"] == 3
+    assert tri["cohesion"] == pytest.approx((0.9 + 0.8 + 0.7) / 3)
+    assert tri["persistence"] == pytest.approx(0.7)
+    assert tri["density"] == pytest.approx(1.0)
+    assert tri["bridge_mass"] == pytest.approx(1.0)  # all degrees 2, n>2
+    assert tri["medoid_url"] == "a"  # weighted degree 1.7 > others
+    pair = got["d"]
+    assert pair["bridge_mass"] == 0.0  # n==2 -> no bridge accounting
+    assert pair["persistence"] == pytest.approx(0.95)
+    assert pair["centroid"][0] == pytest.approx(1.0)
+
+
+def test_split_oversized_components(spark) -> None:
+    # star component of 7 nodes, cap 3 -> sub-components of <= 3
+    edges = [("hub", f"n{i}", 1.0 - i * 0.01) for i in range(6)]
+    pairs = spark.createDataFrame(edges, "url_a string, url_b string, pair_score double")
+    labels = spark.createDataFrame(
+        [(u, "hub") for u in ["hub"] + [f"n{i}" for i in range(6)]],
+        "url string, component string",
+    )
+    out = split_oversized_components(labels, pairs, max_component_docs=3)
+    rows = out.collect()
+    assert len(rows) == 7
+    sizes: dict[str, int] = {}
+    for r in rows:
+        sizes[r["component"]] = sizes.get(r["component"], 0) + 1
+    assert all(v <= 3 for v in sizes.values())
+    assert len(sizes) >= 3
+
+
+# ---------- multimodal ----------
+
+def test_multimodal_features_and_plan(spark) -> None:
+    media = multimodal.synth_media_table(spark, n=24)
+    feats = multimodal.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["payload_sha256"] == hashlib.sha256(
+            bytes(media.where(F.col("media_id") == r["media_id"]).collect()[0]["payload"])
+        ).hexdigest()
+        break  # one hash check is enough (collect above is per-row expensive)
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    assert plan.where(F.col("frame_ts_ms") % 500 != 0).count() == 0
+    assert plan.groupBy("media_id").count().count() == media.where("kind = 'video'").count()
+
+
+def test_multimodal_strict_raises(spark) -> None:
+    media = multimodal.synth_media_table(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_media_features(media, strict=True)

@@ -1,0 +1,68 @@
+"""Structured-Streaming ingest tests: file-source micro-batches through the
+signature stage with checkpointed resume (PostIngestQueue recast)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from yams_spark.sources.pages import generate_pages_pdf
+from yams_spark.streaming.ingest import start_ingest_stream, windowed_event_counts
+
+
+@pytest.fixture(scope="module")
+def staged_pages(spark, sf_dir, tmp_path_factory):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    corpus = generate_pages_pdf(docs.head(30), replicate=1)
+    in_dir = str(tmp_path_factory.mktemp("stream_in"))
+    pages = spark.createDataFrame(corpus[["url", "warc_ts", "html", "text", "lang"]])
+    # two file batches
+    pages.where("length(url) % 2 = 0").coalesce(1).write.mode("append").parquet(in_dir)
+    pages.where("length(url) % 2 = 1").coalesce(1).write.mode("append").parquet(in_dir)
+    return in_dir, pages.count()
+
+
+def test_stream_ingest_processes_all_and_resumes(spark, staged_pages, tmp_path_factory) -> None:
+    in_dir, n_pages = staged_pages
+    out_dir = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    q = start_ingest_stream(spark, in_dir, out_dir, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    sig = spark.read.parquet(os.path.join(out_dir, "signatures.parquet"))
+    assert sig.count() == n_pages
+    metrics = spark.read.parquet(os.path.join(out_dir, "stream_metrics.parquet"))
+    assert metrics.count() >= 1
+
+    # resume: nothing new -> no duplicate processing (exactly-once per file)
+    q2 = start_ingest_stream(spark, in_dir, out_dir, ckpt, trigger_once=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out_dir, "signatures.parquet")).count() == n_pages
+
+
+def test_windowed_event_counts_stream(spark, sf_dir) -> None:
+    # run the watermarked windowed agg over the events table via a
+    # memory-source-like replay: availableNow on a parquet stream
+    import tempfile
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        in_dir = os.path.join(d, "in")
+        events.coalesce(2).write.parquet(in_dir)
+        stream = spark.readStream.schema(events.schema).parquet(in_dir)
+        agg = windowed_event_counts(stream, "1 hour", "2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wincounts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        # append mode emits only closed windows; at least validates the
+        # plan runs with watermark + window (the final windows stay open)
+        got = spark.sql("select * from wincounts")
+        assert {"window", "event_type", "n_events", "sum_value"} <= set(got.columns)

@@ -268,3 +268,194 @@ def clusters_stage(
         "title_overlap", "path_overlap", "pair_score", "component",
     )
     return clusters, members
+
+
+def cluster_metrics(
+    signatures: DataFrame,
+    accepted_pairs: DataFrame,
+    weight_col: str = "pair_score",
+) -> DataFrame:
+    """Per-cluster topology metrics (topology_baseline.cpp:122-208):
+
+    cohesion     = mean internal edge weight
+    persistence  = min internal edge weight
+    density      = internal_edges / C(n,2)
+    bridge_mass  = frac(members with internal degree >= 2), only when n > 2
+    medoid       = argmax weighted internal degree (tolerance 1e-9), ties
+                   broken by LOWEST doc hash (the reference comparator
+                   orders ties by hash descending inside max_element)
+    centroid     = mean member embedding (topology_build_utils.h)
+
+    Packed per component with collect_list, computed in one Arrow pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    labels = connected_components(accepted_pairs)
+
+    mems = (
+        signatures.select("url", "doc_hash", "embedding")
+        .join(labels, "url", "inner")
+        .groupBy("component")
+        .agg(F.collect_list(F.struct("url", "doc_hash", "embedding")).alias("mems"))
+    )
+    labels_for_pairs = labels.select(
+        F.col("url").alias("url_a"), F.col("component").alias("comp")
+    )
+    prs = (
+        accepted_pairs.select("url_a", "url_b", F.col(weight_col).alias("w"))
+        .join(labels_for_pairs, "url_a")
+        .groupBy("comp")
+        .agg(F.collect_list(F.struct("url_a", "url_b", "w")).alias("prs"))
+    )
+    packed = mems.join(prs, mems["component"] == prs["comp"], "left").select(
+        "component", "mems", "prs"
+    )
+
+    schema = (
+        "component string, member_count long, internal_edges long, "
+        "cohesion double, persistence double, density double, "
+        "bridge_mass double, medoid_url string, medoid_hash string, "
+        "medoid_score double, centroid array<float>"
+    )
+
+    def compute(iterator):
+        for pdf in iterator:
+            rows = []
+            for component, members, pairs in zip(pdf["component"], pdf["mems"], pdf["prs"]):
+                members = list(members)
+                n = len(members)
+                pair_list = list(pairs) if pairs is not None else []
+                wdeg: dict[str, float] = {m["url"]: 0.0 for m in members}
+                deg: dict[str, int] = {m["url"]: 0 for m in members}
+                cohesion_sum = 0.0
+                persistence = 0.0
+                n_edges = 0
+                for p in pair_list:
+                    w = float(p["w"])
+                    wdeg[p["url_a"]] = wdeg.get(p["url_a"], 0.0) + w
+                    wdeg[p["url_b"]] = wdeg.get(p["url_b"], 0.0) + w
+                    deg[p["url_a"]] = deg.get(p["url_a"], 0) + 1
+                    deg[p["url_b"]] = deg.get(p["url_b"], 0) + 1
+                    cohesion_sum += w
+                    persistence = w if n_edges == 0 else min(persistence, w)
+                    n_edges += 1
+                cohesion = cohesion_sum / n_edges if n_edges else 0.0
+                if n_edges == 0:
+                    persistence = 0.0
+                possible = n * (n - 1) / 2.0 if n > 1 else 0.0
+                density = n_edges / possible if possible else 0.0
+                bridge = (
+                    sum(1 for m in members if deg.get(m["url"], 0) >= 2) / n
+                    if n > 2
+                    else 0.0
+                )
+                hash_of = {m["url"]: m["doc_hash"] for m in members}
+                medoid_url = None
+                for m in members:
+                    u = m["url"]
+                    if medoid_url is None:
+                        medoid_url = u
+                        continue
+                    da, db = wdeg.get(u, 0.0), wdeg.get(medoid_url, 0.0)
+                    if abs(da - db) > 1e-9:
+                        if da > db:
+                            medoid_url = u
+                    elif hash_of[u] < hash_of[medoid_url]:
+                        medoid_url = u
+                emb = np.stack(
+                    [np.asarray(m["embedding"], dtype=np.float64) for m in members]
+                )
+                centroid = emb.mean(axis=0).astype(np.float32)
+                rows.append(
+                    (
+                        component, n, n_edges, cohesion, persistence, density,
+                        bridge, medoid_url, hash_of[medoid_url],
+                        max(0.0, wdeg.get(medoid_url, 0.0)), centroid.tolist(),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "component", "member_count", "internal_edges", "cohesion",
+                        "persistence", "density", "bridge_mass", "medoid_url",
+                        "medoid_hash", "medoid_score", "centroid",
+                    ],
+                )
+
+    return packed.mapInPandas(compute, schema=schema)
+
+
+def split_oversized_components(
+    labels: DataFrame,
+    accepted_pairs: DataFrame,
+    max_component_docs: int = 64,
+) -> DataFrame:
+    """Oversized-component split (topology_baseline.cpp:44-120): components
+    larger than ``max_component_docs`` are re-grown greedily from the
+    strongest edges into sub-components of at most that size. Returns
+    (url, component) with oversized components relabeled
+    ``<component>#<i>`` (i in discovery order of seed edges, weight desc).
+    """
+    import pandas as pd
+
+    sizes = labels.groupBy("component").agg(F.count("*").alias("n"))
+    big = sizes.where(F.col("n") > max_component_docs).select("component")
+    small = labels.join(big, "component", "left_anti")
+
+    big_members = labels.join(big, "component")
+    labels_for_pairs = big_members.select(
+        F.col("url").alias("url_a"), F.col("component").alias("comp")
+    )
+    big_edges = (
+        accepted_pairs.select("url_a", "url_b", "pair_score")
+        .join(labels_for_pairs, "url_a")
+        .groupBy("comp")
+        .agg(F.collect_list(F.struct("url_a", "url_b", "pair_score")).alias("prs"))
+    )
+    packed = (
+        big_members.groupBy("component")
+        .agg(F.collect_list("url").alias("mems"))
+        .join(big_edges, F.col("component") == F.col("comp"), "left")
+        .select("component", "mems", "prs")
+    )
+
+    def split(iterator):
+        for pdf in iterator:
+            rows = []
+            for component, members, pairs in zip(pdf["component"], pdf["mems"], pdf["prs"]):
+                members = list(members)
+                edges = sorted(
+                    (list(pairs) if pairs is not None else []),
+                    key=lambda p: (-p["pair_score"], p["url_a"], p["url_b"]),
+                )
+                assigned: dict[str, str] = {}
+                sub_sizes: dict[str, int] = {}
+                idx = 0
+                for p in edges:
+                    a, b = p["url_a"], p["url_b"]
+                    ca, cb = assigned.get(a), assigned.get(b)
+                    if ca is None and cb is None:
+                        sub = f"{component}#{idx}"
+                        idx += 1
+                        assigned[a] = assigned[b] = sub
+                        sub_sizes[sub] = 2
+                    elif ca is None and sub_sizes[cb] < max_component_docs:
+                        assigned[a] = cb
+                        sub_sizes[cb] += 1
+                    elif cb is None and ca is not None and sub_sizes[ca] < max_component_docs:
+                        assigned[b] = ca
+                        sub_sizes[ca] += 1
+                for u in members:
+                    if u not in assigned:
+                        sub = f"{component}#{idx}"
+                        idx += 1
+                        assigned[u] = sub
+                        sub_sizes[sub] = 1
+                    rows.append((u, assigned[u]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "component"])
+
+    split_labels = packed.mapInPandas(split, schema="url string, component string")
+    return small.unionByName(split_labels)

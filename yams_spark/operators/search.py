@@ -1,0 +1,238 @@
+"""Hybrid-search scoring operators, recast from the reference engine.
+
+* posting lists + BM25 from term/corpus statistics
+  (migration.cpp:2302-2344; FTS5 bm25(documents_fts,1.0,10.0),
+  search_ops.cpp:174; k1=1.2 b=0.75 FTS5 defaults)
+* BM25 range normalization: min-max over the candidate batch, 1-norm
+  (FTS5 bm25 is negative-better), fallback -raw/25
+  (lexical_scoring.cpp:18-43; divisor search_engine_config.h:284)
+* chunk→document score aggregation: MAX / SUM(cap 1.0) / TOP_K_AVG /
+  WEIGHTED_TOP_K_AVG (k=3, decay 0.6) + deterministic ordering
+  (search_vector_pipeline.cpp:78-155, config :287-294)
+* weighted-RRF evidence fusion: per-(doc,source) bestRaw=max bestRank=min
+  occurrences=count, contribution = weight · 1/(rrfK + rank+1) ·
+  (1 + 0.5·clamp(raw,0,1)), rrfK=12; optional lexical rank floor
+  (evidence_search_pipeline.cpp:49-56,184-229)
+* final top-k with additive rescue slots
+  (evidence_search_pipeline.cpp:250-332)
+* cross-rerank blend of the top-5: min-max normalize both score sets,
+  final = 0.30·rerank + 0.70·original (cross_rerank.cpp:60-160)
+
+All pure DataFrame/Catalyst — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# search_engine_config.h:78-96
+DEFAULT_SOURCE_WEIGHTS: dict[str, float] = {
+    "text": 0.70,
+    "simeon_text": 0.15,
+    "graph_text": 0.12,
+    "path_tree": 0.08,
+    "kg": 0.04,
+    "vector": 0.30,
+    "graph_vector": 0.08,
+    "entity_vector": 0.05,
+    "tag": 0.05,
+    "metadata": 0.05,
+}
+RRF_K = 12.0  # search_engine_config.h:283
+BM25_NORM_DIVISOR = 25.0  # search_engine_config.h:284
+CHUNK_AGG_TOP_K = 3  # search_engine_config.h:293
+CHUNK_AGG_DECAY = 0.6  # search_engine_config.h:294
+
+
+def build_posting_lists(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf, dl): tokenize-lower (query_text_utils.cpp:340-362)."""
+    toks = F.expr(
+        f"filter(split(lower(regexp_replace({text_col}, '[^0-9a-zA-Z]+', ' ')), ' '), "
+        "x -> x <> '')"
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
+    d = d.withColumn("dl", F.size("tokens"))
+    return (
+        d.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_scores(
+    postings: DataFrame, query_terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """(doc_id, bm25) for the disjunctive query, from posting statistics."""
+    stats = postings.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    tf = postings.where(F.col("term").isin(query_terms))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(df_, "term")
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("bm25"))
+    )
+
+
+def normalize_bm25(
+    scored: DataFrame, score_col: str = "bm25", divisor: float = BM25_NORM_DIVISOR
+) -> DataFrame:
+    """lexical_scoring.cpp:18-43: min-max over the batch, 1-norm (raw scores
+    are negative-better à la FTS5); degenerate range falls back to
+    clamp(-raw/divisor)."""
+    rng = scored.agg(
+        F.min(score_col).alias("mn"), F.max(score_col).alias("mx")
+    ).collect()[0]
+    mn, mx = float(rng["mn"]), float(rng["mx"])
+    if mx > mn:
+        expr = F.lit(1.0) - (F.col(score_col) - F.lit(mn)) / F.lit(mx - mn)
+    else:
+        expr = -F.col(score_col) / F.lit(divisor)
+    return scored.withColumn(
+        "norm_score", F.least(F.greatest(expr, F.lit(0.0)), F.lit(1.0))
+    )
+
+
+def aggregate_chunk_scores(
+    chunk_scores: DataFrame,
+    doc_col: str = "doc_hash",
+    score_col: str = "score",
+    mode: str = "WEIGHTED_TOP_K_AVG",
+    top_k: int = CHUNK_AGG_TOP_K,
+    decay: float = CHUNK_AGG_DECAY,
+) -> DataFrame:
+    """Chunk→doc aggregation (search_vector_pipeline.cpp:100-155). Returns
+    (doc, agg_score) with the reference's deterministic ordering applied by
+    the caller (score desc, doc asc)."""
+    if mode == "MAX":
+        return chunk_scores.groupBy(doc_col).agg(F.max(score_col).alias("agg_score"))
+    if mode == "SUM":
+        return chunk_scores.groupBy(doc_col).agg(
+            F.least(F.sum(score_col), F.lit(1.0)).alias("agg_score")
+        )
+    w = Window.partitionBy(doc_col).orderBy(F.col(score_col).desc())
+    ranked = chunk_scores.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= max(1, top_k)
+    )
+    if mode == "TOP_K_AVG":
+        return ranked.groupBy(doc_col).agg(F.avg(score_col).alias("agg_score"))
+    if mode == "WEIGHTED_TOP_K_AVG":
+        weight = F.pow(F.lit(decay), F.col("rk") - 1)
+        return (
+            ranked.withColumn("wt", weight)
+            .groupBy(doc_col)
+            .agg(
+                (F.sum(F.col(score_col) * F.col("wt")) / F.sum("wt")).alias("agg_score")
+            )
+        )
+    raise ValueError(f"unknown aggregation mode {mode}")
+
+
+def fuse_evidence(
+    components: DataFrame,
+    weights: dict[str, float] | None = None,
+    rrf_k: float = RRF_K,
+    lexical_floor_boost: float = 0.0,
+    lexical_sources: tuple[str, ...] = ("text", "simeon_text", "graph_text"),
+) -> DataFrame:
+    """components (doc_id, source, score, rank) -> fused (doc_id, fused_score).
+
+    evidence_search_pipeline.cpp:184-229: per-(doc,source) aggregate then
+    weighted-RRF sum; optional lexical rank floor boost/(1+rank).
+    """
+    weights = weights or DEFAULT_SOURCE_WEIGHTS
+    per_source = components.groupBy("doc_id", "source").agg(
+        F.max("score").alias("best_raw"),
+        F.min("rank").alias("best_rank"),
+        F.count("*").alias("occurrences"),
+    )
+    weight_expr = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(float(w)))
+            for s, w in weights.items()
+        ],
+        F.lit(0.0),
+    )
+    clamped = F.least(F.greatest(F.col("best_raw"), F.lit(0.0)), F.lit(1.0))
+    contribution = (
+        weight_expr
+        * (F.lit(1.0) / (F.lit(rrf_k) + F.col("best_rank") + 1.0))
+        * (F.lit(1.0) + 0.5 * clamped)
+    )
+    scored = per_source.withColumn("contribution", contribution)
+    fused = scored.groupBy("doc_id").agg(F.sum("contribution").alias("fused_score"))
+    if lexical_floor_boost > 0.0:
+        lex = (
+            scored.where(F.col("source").isin(list(lexical_sources)))
+            .groupBy("doc_id")
+            .agg(F.min("best_rank").alias("lex_rank"))
+            .withColumn(
+                "floor",
+                F.lit(min(max(lexical_floor_boost, 0.0), 1.0))
+                / (F.lit(1.0) + F.col("lex_rank")),
+            )
+        )
+        fused = (
+            fused.join(lex.select("doc_id", "floor"), "doc_id", "left")
+            .withColumn(
+                "fused_score", F.col("fused_score") + F.coalesce("floor", F.lit(0.0))
+            )
+            .drop("floor")
+        )
+    return fused
+
+
+def topk_with_rescue(
+    results: DataFrame,
+    limit: int,
+    rescue_slots: int = 0,
+    eligible_col: str | None = None,
+    score_col: str = "fused_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Truncate to ``limit`` by (score desc, id asc); then additively append
+    up to ``rescue_slots`` eligible tail candidates — rescue never displaces
+    the head (evidence_search_pipeline.cpp:250-332)."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = results.withColumn("__rk", F.row_number().over(w))
+    head = ranked.where(F.col("__rk") <= limit)
+    if rescue_slots > 0 and eligible_col is not None:
+        tail = (
+            ranked.where((F.col("__rk") > limit) & F.col(eligible_col))
+            .orderBy(F.col("__rk").asc())
+            .limit(rescue_slots)
+        )
+        return head.unionByName(tail).drop("__rk")
+    return head.drop("__rk")
+
+
+def cross_rerank_blend(
+    head: DataFrame,
+    rerank_col: str = "rerank_score",
+    score_col: str = "fused_score",
+    alpha: float = 0.30,
+) -> DataFrame:
+    """cross_rerank.cpp:60-160: min-max normalize both score sets over the
+    head and blend final = alpha·rerankNorm + (1-alpha)·origNorm; if either
+    set has no variance the original ordering is kept."""
+    rng = head.agg(
+        F.min(score_col).alias("omn"), F.max(score_col).alias("omx"),
+        F.min(rerank_col).alias("rmn"), F.max(rerank_col).alias("rmx"),
+    ).collect()[0]
+    if rng["omx"] == rng["omn"] or rng["rmx"] == rng["rmn"]:
+        return head.withColumn("blended_score", F.col(score_col))
+    onorm = (F.col(score_col) - rng["omn"]) / (rng["omx"] - rng["omn"])
+    rnorm = (F.col(rerank_col) - rng["rmn"]) / (rng["rmx"] - rng["rmn"])
+    return head.withColumn("blended_score", F.lit(alpha) * rnorm + F.lit(1 - alpha) * onorm)
