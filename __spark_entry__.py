@@ -713,6 +713,19 @@ def q30_metadata_kv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.groupBy("key", "value").agg(F.count("*").alias("n"))
 
 
+def er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule metric: pairwise P/R/F1 on labeled same-block pairs."""
+    _ship_package(spark)
+    from yams_spark.operators.evaluation import labeled_pairs, pairwise_f1
+    from yams_spark.sources.pages import materialize_pages
+
+    out = _er_outputs(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    _, truth = materialize_pages(spark, sf_dir, f"/tmp/yams_entry_pages_{tag}")
+    labeled = labeled_pairs(out["pairs"], truth)
+    return pairwise_f1(labeled, out["members"].select("url", "group_key"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_list_scan_filters": q01_list_scan_filters,
@@ -750,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_scored_pairs": er_scored_pairs,
         "er_blocks": er_blocks,
         "er_extraction": er_extraction,
+        "er_eval": er_eval,
     }
 
 
