@@ -465,12 +465,6 @@ def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOT_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-    "0D, (acc, v) -> acc + v)"
-)
-
-
 def q19_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (EmbeddingService.cpp:555-610),
     broadcast-matmul pattern (no per-row JVM lambda evaluation)."""
@@ -618,10 +612,6 @@ def q26_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn(
         "t", F.expr(_TOKENIZE_SPARK.format(col="text"))
     ).where(F.size("t") >= 3)
-    shingles = F.expr(
-        "transform(sequence(1, size(t) - 2), "
-        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"
-    )
     return d.select(
         "doc_id",
         F.expr(

@@ -22,7 +22,7 @@ from yams_spark.functions.similarity import (
     cosine_matrix,
     hamming64_array,
     jaro_winkler,
-    levenshtein,
+    levenshtein_batch,
 )
 from yams_spark.functions.textnorm import jaccard_token_sets
 
@@ -90,9 +90,11 @@ def scored_pairs_stage(
                 idx = np.nonzero(accepted)[0]
                 ua_v = pdf["url_a"].to_numpy()
                 ub_v = pdf["url_b"].to_numpy()
+                lev[idx] = levenshtein_batch(
+                    [ua_v[i] for i in idx], [ub_v[i] for i in idx]
+                )
                 for i in idx:
                     jw[i] = jaro_winkler(ta[i], tb[i])
-                    lev[i] = levenshtein(ua_v[i], ub_v[i])
             ham = hamming64_array(
                 pdf["simhash64_a"].to_numpy().astype(np.int64),
                 pdf["simhash64_b"].to_numpy().astype(np.int64),

@@ -181,6 +181,10 @@ def run_pipeline(
     else:
         raw_blocks = blocks_stage(signatures)
         blocks, oversize = salt_blocks(raw_blocks, cfg.block_cap)
+        if cfg.checkpoint_dir is None:
+            # the pair stage self-joins blocks; without a durable commit the
+            # salting window would otherwise be recomputed on both sides
+            blocks = blocks.persist()
         blocks = _commit_stage(spark, cfg, "block", blocks)
         _append_metrics(cfg, _partition_metrics(blocks, cfg.run_id, "block"))
         if cfg.checkpoint_dir is not None:

@@ -32,14 +32,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # post-shuffle coalescing targets: the 64MB default collapses this
+        # pipeline's mid-size shuffles to 1-3 partitions, serializing the
+        # downstream Arrow UDF stages; 8MB keeps them parallel while still
+        # coalescing tiny exchanges
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # NOTE: keep the default autoBroadcastJoinThreshold (10m). Raising it
+        # makes Catalyst broadcast the embedding-bearing signature table in
+        # the pair-hydration joins (~330MB deserialized) — driver GC churn
+        # and 2-10x run variance. Small dimension tables are hinted
+        # explicitly where broadcast is safe.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("YAMS_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    local_dir = os.environ.get("YAMS_SPARK_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
