@@ -716,6 +716,59 @@ def er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_f1(labeled, out["members"].select("url", "group_key"))
 
 
+def er_neighbor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-neighbor graph (kg_edges analog, EmbeddingService.cpp:555-812):
+    top-8 neighbors per page from the scored candidate pairs, symmetric,
+    weight clamped to [threshold, 1]."""
+    _ship_package(spark)
+    from yams_spark.operators.neighbors import semantic_neighbor_edges
+
+    scored = _er_outputs(spark, sf_dir)["scored_pairs"]
+    return semantic_neighbor_edges(scored, top_k=8, threshold=0.25).select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+
+def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (SURVEY §3.2): BM25 + vector cosine -> weighted-RRF
+    fusion -> top-10, for a fixed query over the documents table."""
+    _ship_package(spark)
+    import numpy as np
+
+    from yams_spark.functions.sketches import feature_hash_embedding
+    from yams_spark.operators.neighbors import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.orderBy("doc_id").limit(1).collect()[0]
+    qe = feature_hash_embedding(target["text"].split())
+
+    def embs(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["doc_id"],
+                    "embedding": [
+                        [float(x) for x in feature_hash_embedding(t.split())]
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    embedding_df = docs.select("doc_id", "text").mapInPandas(
+        embs, schema="vec_id long, embedding array<float>"
+    )
+    out = hybrid_search(
+        spark, docs, query_text=" ".join(target["text"].split()[:8]),
+        query_embedding=qe, embedding_df=embedding_df, limit=10,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("fused_score", 8).cast("double").alias("fused_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_list_scan_filters": q01_list_scan_filters,
@@ -754,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocks": er_blocks,
         "er_extraction": er_extraction,
         "er_eval": er_eval,
+        "er_neighbor_edges": er_neighbor_edges,
+        "search_hybrid": search_hybrid,
     }
 
 

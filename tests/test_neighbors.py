@@ -1,0 +1,61 @@
+"""Semantic-neighbor graph + hybrid search tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yams_spark.functions.sketches import feature_hash_embedding
+from yams_spark.operators.neighbors import hybrid_search, semantic_neighbor_edges
+
+
+def test_neighbor_edges_topk_symmetric_clamped(spark) -> None:
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 0.99), ("a", "c", 0.95), ("a", "d", 0.91),
+            ("b", "c", 0.97), ("a", "b", 0.90),  # duplicate pair, lower sim
+        ],
+        "url_a string, url_b string, cosine double",
+    )
+    edges = semantic_neighbor_edges(pairs, top_k=2, threshold=0.92)
+    got = {(r["src"], r["dst"]): r["weight"] for r in edges.collect()}
+    # per-src top-2: a -> b(.99), c(.95); b -> a(.99), c(.97); c -> b, a; d -> a
+    assert got[("a", "b")] == pytest.approx(0.99)
+    assert got[("b", "a")] == pytest.approx(0.99)  # symmetric
+    assert ("a", "d") not in got or got.get(("a", "d"))  # d not in a's top-2...
+    assert ("d", "a") in got  # ...but a IS d's best neighbor, so edge exists both ways
+    assert ("a", "d") in got  # symmetric closure
+    # weight clamped up to threshold
+    assert got[("d", "a")] == pytest.approx(max(0.91, 0.92))
+    # dedupe kept the max sim for (a,b)
+    assert got[("a", "b")] == pytest.approx(0.99)
+
+
+def test_hybrid_search_lexical_plus_vector(spark, sf_dir) -> None:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"), "text"
+    )
+    import pandas as pd
+
+    pdf = emb.toPandas()
+    rows = [
+        (int(r.vec_id), [float(x) for x in feature_hash_embedding(r.text.split())])
+        for r in pdf.itertuples(index=False)
+    ]
+    embedding_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    target_text = pdf.iloc[0]["text"]
+    qe = feature_hash_embedding(target_text.split())
+
+    out = hybrid_search(
+        spark, docs, query_text=" ".join(target_text.split()[:8]),
+        query_embedding=qe, embedding_df=embedding_df, limit=5,
+    ).collect()
+    assert len(out) == 5
+    # the target document (exact vector match, cosine 1.0) must fuse into
+    # the top-5; with the tiny shared vocabulary the lexical component can
+    # legitimately rank other docs above it (text weight 0.70 vs 0.30)
+    target = str(int(pdf.iloc[0]["vec_id"]))
+    assert any(r["doc_id"] == target for r in out)
+    scores = [r["fused_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)

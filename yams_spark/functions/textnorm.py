@@ -79,3 +79,10 @@ def url_path_tokens(url: str) -> list[str]:
     normalizeTextForTokens to the document filePath (dedupe.cpp:128); our
     analog normalizes the full url string the same way."""
     return normalize_text_for_tokens(url).split()
+
+
+def normalize_title(title: str, max_len: int = 120) -> str:
+    """Title normalization (src/extraction/title_util.cpp:13-80): trim,
+    collapse internal whitespace, cap at ``max_len`` chars."""
+    collapsed = " ".join(title.split())
+    return collapsed[:max_len]

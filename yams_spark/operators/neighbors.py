@@ -1,0 +1,113 @@
+"""Semantic-neighbor graph + hybrid search composition.
+
+* ``semantic_neighbor_edges`` — the reference's batched kNN self-join that
+  populates kg_edges (EmbeddingService.cpp:555-812): candidate neighbors
+  per document (here: the blocking families play the ANN role, exactly as
+  in the ER pipeline), deduped best-score per neighbor doc, top-K per
+  source (K defaults 8; the reference pools max(8, 4·topK) candidates),
+  emitted as symmetric edges with weight = clamp(similarity, threshold, 1).
+* ``hybrid_search`` — the `yams search` fanout recast (SURVEY §3.2): a
+  lexical BM25 component + a vector cosine component, normalized, fused
+  with weighted RRF, final deterministic top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yams_spark.operators.search import (
+    bm25_scores,
+    build_posting_lists,
+    fuse_evidence,
+    normalize_bm25,
+    topk_with_rescue,
+)
+
+
+def semantic_neighbor_edges(
+    scored_pairs: DataFrame,
+    top_k: int = 8,
+    threshold: float = 0.0,
+    sim_col: str = "cosine",
+) -> DataFrame:
+    """(src, dst, weight) symmetric edge set: per source keep the top-K
+    strongest neighbors (cosine desc, dst asc tie-break), weight clamped to
+    [threshold, 1.0] (EmbeddingService.cpp:740-812)."""
+    directed = scored_pairs.select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst"), F.col(sim_col).alias("sim")
+    ).unionByName(
+        scored_pairs.select(
+            F.col("url_b").alias("src"), F.col("url_a").alias("dst"), F.col(sim_col).alias("sim")
+        )
+    )
+    # dedupe best-score per (src, dst) — multiple blocking families may
+    # surface the same neighbor
+    best = directed.groupBy("src", "dst").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    topk = best.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= top_k)
+    edges = topk.select(
+        "src",
+        "dst",
+        F.least(F.greatest(F.col("sim"), F.lit(threshold)), F.lit(1.0)).alias("weight"),
+    )
+    # symmetric closure: if (a->b) survived top-K on either side, emit both
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return edges.unionByName(rev).groupBy("src", "dst").agg(
+        F.max("weight").alias("weight")
+    )
+
+
+def hybrid_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_text: str,
+    query_embedding,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    embedding_df: DataFrame | None = None,
+    limit: int = 10,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """One hybrid query: BM25 lexical component + cosine vector component →
+    per-component ranks → weighted-RRF fusion → deterministic top-k
+    (SearchEngine fanout → EvidenceSearchPipeline, SURVEY §3.2)."""
+    import numpy as np
+
+    from yams_spark.functions.textnorm import tokenize_lower
+
+    terms = tokenize_lower(query_text)
+    postings = build_posting_lists(docs, id_col, text_col)
+    lex = bm25_scores(postings, terms)
+    # FTS5 bm25 is negative-better; ours is positive-better → negate before
+    # the reference's range normalization (lexical_scoring.cpp:18-43)
+    lex = normalize_bm25(lex.withColumn("bm25", -F.col("bm25")))
+    w_lex = Window.orderBy(F.col("norm_score").desc(), F.col("doc_id").asc())
+    lex_comp = lex.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("text").alias("source"),
+        F.col("norm_score").alias("score"),
+        (F.row_number().over(w_lex) - 1).alias("rank"),
+    )
+
+    components = lex_comp
+    if embedding_df is not None and query_embedding is not None:
+        from yams_spark.operators.ann import cosine_topk
+
+        q = spark.createDataFrame(
+            [(-1, [float(x) for x in np.asarray(query_embedding, dtype=np.float32)])],
+            f"query_id long, embedding array<float>",
+        )
+        near = cosine_topk(spark, embedding_df, q, k=max(limit * 3, 30), id_col="vec_id")
+        vec_comp = near.select(
+            F.col("vec_id").cast("string").alias("doc_id"),
+            F.lit("vector").alias("source"),
+            F.col("cosine").alias("score"),
+            (F.col("rk") - 1).alias("rank"),
+        )
+        components = components.unionByName(vec_comp)
+
+    fused = fuse_evidence(components, weights=weights)
+    return topk_with_rescue(fused, limit=limit)
