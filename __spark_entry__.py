@@ -72,6 +72,23 @@ def entry(spark: SparkSession) -> DataFrame:
 _ER_CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
+def _code_fingerprint() -> str:
+    """Short hash over the yams_spark sources + this file, so on-disk entry
+    caches from older code versions are never reused."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=6)
+    pkg = os.path.join(_REPO, "yams_spark")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                with open(os.path.join(root, name), "rb") as f:
+                    h.update(f.read())
+    with open(os.path.abspath(__file__), "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()
+
+
 def _er_outputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = os.path.normpath(sf_dir)
     if key not in _ER_CACHE:
@@ -79,7 +96,7 @@ def _er_outputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         from yams_spark.plans.er_pipeline import PipelineConfig, run_pipeline
         from yams_spark.sources.pages import materialize_pages
 
-        tag = os.path.basename(key)
+        tag = f"{os.path.basename(key)}_{_code_fingerprint()}"
         pages, _ = materialize_pages(spark, sf_dir, f"/tmp/yams_entry_pages_{tag}")
         ckpt = f"/tmp/yams_entry_ckpt_{tag}"
         os.makedirs(ckpt, exist_ok=True)
@@ -710,7 +727,7 @@ def er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yams_spark.sources.pages import materialize_pages
 
     out = _er_outputs(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{_code_fingerprint()}"
     _, truth = materialize_pages(spark, sf_dir, f"/tmp/yams_entry_pages_{tag}")
     labeled = labeled_pairs(out["pairs"], truth)
     return pairwise_f1(labeled, out["members"].select("url", "group_key"))

@@ -51,11 +51,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 #: below this many edges the transitive closure runs as a driver-side
-#: union-find (a few MB; ~100x faster than iterated shuffles on small
-#: graphs). Above it, the distributed large-star/small-star path runs —
-#: that's the only option at 10^12-document scale. Both label components
+#: union-find (fast for small graphs; the reference's own structure).
+#: Above it, the distributed large-star/small-star path runs — that's the
+#: only option at 10^12-document scale, and past ~10^5 edges the driver
+#: path's single-threaded fold + arrow transfer becomes the pipeline's
+#: dominant serial cost, so the crossover sits here. Both label components
 #: by min url, so results are identical (property-tested).
-DRIVER_CC_MAX_EDGES = 2_000_000
+DRIVER_CC_MAX_EDGES = 100_000
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
