@@ -95,3 +95,13 @@ def test_hotzone_stateful_across_batches(spark, tmp_path) -> None:
     # cross-batch fold (1*0.5+3=3.5) or, if both files landed in one batch,
     # the same value — the recurrence is order-deterministic
     assert final["score"] == pytest.approx(3.5)
+
+
+def test_fold_events_out_of_order_never_amplifies() -> None:
+    """A late event older than the stored last_ts must only add weight —
+    never inflate via 0.5^(negative) > 1 inverse decay (the reference decays
+    against wall-clock now, which can't run backwards)."""
+    late = T0 - timedelta(hours=48)
+    score, last = hz.fold_events([(late, 1.0)], initial_score=2.0, initial_ts=T0)
+    assert score == pytest.approx(3.0)  # decay factor clamped to 1.0, not 4.0
+    assert last == T0  # state timestamp never moves backwards

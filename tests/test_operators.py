@@ -234,3 +234,36 @@ def test_multimodal_strict_raises(spark) -> None:
     media = multimodal.synth_media_table(spark, n=3)
     with pytest.raises(NotImplementedError):
         multimodal.extract_media_features(media, strict=True)
+
+
+def test_blocking_contract_shared_between_pipeline_and_oracle(spark) -> None:
+    """blocks_stage (Spark) and blocking_keys_from_signature (oracle) are
+    built from the one BLOCKING_FAMILY_SPEC — the key sets must be equal for
+    every family, including the non-default simhash family."""
+    import pandas as pd
+
+    from yams_spark.operators.blocking import blocks_stage
+    from yams_spark.operators.signatures import (
+        BLOCKING_FAMILY_SPEC,
+        blocking_keys_from_signature,
+        compute_signature_row,
+        signatures_stage,
+    )
+
+    html = b"<html><title>Alpha Beta</title><body><p>" + b"gamma delta " * 40 + b"</p></body></html>"
+    all_fams = tuple(BLOCKING_FAMILY_SPEC)
+    sig = compute_signature_row("http://x/a", html)
+    expected = set(blocking_keys_from_signature(sig, all_fams))
+
+    pdf = pd.DataFrame(
+        [{"url": "http://x/a", "warc_ts": pd.Timestamp("2024-01-01"),
+          "html": html, "text": None, "lang": "en"}]
+    )
+    pages = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {
+        (r["family"], r["block_key"])
+        for r in blocks_stage(signatures_stage(pages), all_fams).collect()
+    }
+    assert got == expected

@@ -42,6 +42,31 @@ def test_stream_ingest_processes_all_and_resumes(spark, staged_pages, tmp_path_f
     assert spark.read.parquet(os.path.join(out_dir, "signatures.parquet")).count() == n_pages
 
 
+def test_stream_ingest_replay_is_idempotent(spark, staged_pages, tmp_path_factory) -> None:
+    """foreachBatch is at-least-once: a full replay (fresh checkpoint, same
+    output dir) must rewrite each batch_id partition in place — counts stay
+    identical instead of doubling (blind-append would duplicate)."""
+    in_dir, n_pages = staged_pages
+    out_dir = str(tmp_path_factory.mktemp("stream_out_replay"))
+
+    q = start_ingest_stream(
+        spark, in_dir, out_dir, str(tmp_path_factory.mktemp("ck1")), trigger_once=True
+    )
+    q.awaitTermination(120)
+    sig_path = os.path.join(out_dir, "signatures.parquet")
+    first = spark.read.parquet(sig_path).count()
+    assert first == n_pages
+
+    # simulate replay-after-lost-offsets: new checkpoint, same output
+    q2 = start_ingest_stream(
+        spark, in_dir, out_dir, str(tmp_path_factory.mktemp("ck2")), trigger_once=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sig_path).count() == n_pages
+    metrics = spark.read.parquet(os.path.join(out_dir, "stream_metrics.parquet"))
+    assert metrics.groupBy("batch_id").count().where("count > 1").count() == 0
+
+
 def test_windowed_event_counts_stream(spark, sf_dir) -> None:
     # run the watermarked windowed agg over the events table via a
     # memory-source-like replay: availableNow on a parquet stream

@@ -32,7 +32,15 @@ def cosine_similarity(a, b) -> float:
 
 
 def cosine_matrix(left: np.ndarray, right: np.ndarray) -> np.ndarray:
-    """Row-wise cosine between two (n, d) float32 batches, float64 math."""
+    """Row-wise cosine between two (n, d) float32 batches, float64 math.
+
+    The result is truncated through float32 before being returned: the
+    reference trace's cosineSimilarity returns ``float``
+    (static_cast<float> in dedupe.cpp) before the 0.92/0.975 gates, so the
+    near-gate accept/reject decisions here match the C++ bit-for-bit.
+    Both the Spark scoring stage and the pure-Python oracle go through this
+    one kernel, so pipeline/oracle parity is preserved by construction.
+    """
     l64 = left.astype(np.float64)
     r64 = right.astype(np.float64)
     dots = np.einsum("ij,ij->i", l64, r64)
@@ -42,7 +50,7 @@ def cosine_matrix(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     out = np.zeros(len(l64), dtype=np.float64)
     nz = denom != 0.0
     out[nz] = dots[nz] / denom[nz]
-    return out
+    return out.astype(np.float32).astype(np.float64)
 
 
 def levenshtein(a: str, b: str) -> int:

@@ -20,6 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def round_half_away(x, decimals: int):
+    """Round half away from zero — matches DuckDB ROUND and Spark F.round
+    (HALF_UP); numpy's np.round is banker's rounding and can flip ranks on
+    exact .xxxx5 boundaries across engines."""
+    s = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+
+
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
@@ -55,7 +63,7 @@ def cosine_topk(
             qn = np.sqrt(np.einsum("ij,ij->i", q, q))
             denom = np.outer(qn, c_norms)
             denom[denom == 0.0] = np.inf
-            cos = np.round((q @ c_mat.T) / denom, round_to)
+            cos = round_half_away((q @ c_mat.T) / denom, round_to)
             out_rows = []
             qids = pdf[query_id_col].to_numpy()
             for r in range(len(pdf)):
@@ -108,7 +116,7 @@ def near_dup_pairs_topn(
             a_ids = pdf[id_col].to_numpy()
             denom = np.outer(qn, c_norms)
             denom[denom == 0.0] = np.inf
-            cos = np.round((q @ c_mat.T) / denom, round_to)
+            cos = round_half_away((q @ c_mat.T) / denom, round_to)
             # keep only id_a < id_b
             keep = a_ids[:, None] < c_ids[None, :]
             ra, rb = np.nonzero(keep)

@@ -23,48 +23,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yams_spark.operators.signatures import (
+    BLOCKING_FAMILY_SPEC,
+    DEFAULT_BLOCKING_FAMILIES,
+)
+
 DEFAULT_BLOCK_CAP = 64
 
-
-#: default blocking families. SimHash 16-bit bands are OFF by default: at
-#: n docs each 16-bit band bucket holds ~n/65536 docs, so beyond ~10^5 docs
-#: the bands mostly emit random (gate-rejected) candidate pairs — at this
-#: repo's bench scale they were 78% of all pairs and ~0% of accepted ones.
-#: Hamming distance over the full simhash64 stays as a pair *feature*; a
-#: web-scale simhash blocker needs multi-probe tables + hamming verify.
-DEFAULT_FAMILIES = ("exact", "chunk", "minhash", "title")
+#: default blocking families (shared contract in operators/signatures.py).
+#: SimHash 16-bit bands are OFF by default: at n docs each 16-bit band
+#: bucket holds ~n/65536 docs, so beyond ~10^5 docs the bands mostly emit
+#: random (gate-rejected) candidate pairs — at this repo's bench scale they
+#: were 78% of all pairs and ~0% of accepted ones. Hamming distance over
+#: the full simhash64 stays as a pair *feature*; a web-scale simhash
+#: blocker needs multi-probe tables + hamming verify.
+DEFAULT_FAMILIES = DEFAULT_BLOCKING_FAMILIES
 
 
 def blocks_stage(
     signatures: DataFrame, families: tuple[str, ...] = DEFAULT_FAMILIES
 ) -> DataFrame:
-    """signatures -> (url, block_key, family), one row per key."""
+    """signatures -> (url, block_key, family), one row per key.
+
+    Key construction is driven by ``BLOCKING_FAMILY_SPEC`` — the same spec
+    the pure-Python oracle consumes via ``blocking_keys_from_signature`` —
+    so a one-sided edit to the blocking contract is impossible.
+    """
     parts = []
-    exact = signatures.select(
-        "url",
-        F.concat(F.lit("tx:"), F.col("text_hash")).alias("block_key"),
-        F.lit("exact").alias("family"),
-    )
-    chunk = signatures.select(
-        "url",
-        F.explode("chunk_hashes").alias("ch"),
-        F.lit("chunk").alias("family"),
-    ).select("url", F.concat(F.lit("ck:"), F.col("ch")).alias("block_key"), "family")
-    minhash = signatures.select(
-        "url", F.explode("minhash_bands").alias("block_key"), F.lit("minhash").alias("family")
-    )
-    simhash = signatures.select(
-        "url", F.explode("simhash_bands").alias("block_key"), F.lit("simhash").alias("family")
-    )
-    title = (
-        signatures.where(F.col("title_key").isNotNull())
-        .select("url", F.col("title_key").alias("block_key"), F.lit("title").alias("family"))
-    )
-    by_name = {
-        "exact": exact, "chunk": chunk, "minhash": minhash,
-        "simhash": simhash, "title": title,
-    }
-    parts = [by_name[f] for f in families]
+    for fam in families:
+        col, prefix, is_array = BLOCKING_FAMILY_SPEC[fam]
+        part = signatures.where(F.col(col).isNotNull()).select(
+            "url",
+            (F.explode(col) if is_array else F.col(col)).alias("block_key"),
+            F.lit(fam).alias("family"),
+        )
+        if prefix:
+            part = part.select(
+                "url",
+                F.concat(F.lit(prefix), F.col("block_key")).alias("block_key"),
+                "family",
+            )
+        parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

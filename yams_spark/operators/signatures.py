@@ -36,6 +36,40 @@ from yams_spark.functions.html_extract import extract_text_from_html, extract_ti
 EMBED_SHINGLE = 3  # embedding features = 3-gram word shingles
 TITLE_KEY_TOKENS = 10  # blocking family 'title': sorted title token set (capped)
 
+#: blocking-key contract shared by the Spark ``blocks_stage`` and the
+#: pure-Python oracle (single source of truth — CLAUDE.md invariant):
+#: family -> (signature column, key prefix, is_array). SimHash 16-bit bands
+#: are OFF in the defaults (measured 78% junk pairs at 200k docs; see
+#: operators/blocking.py), but the family definition lives here so both
+#: paths stay in lock-step when it's enabled.
+BLOCKING_FAMILY_SPEC: dict[str, tuple[str, str, bool]] = {
+    "exact": ("text_hash", "tx:", False),
+    "chunk": ("chunk_hashes", "ck:", True),
+    "minhash": ("minhash_bands", "", True),
+    "simhash": ("simhash_bands", "", True),
+    "title": ("title_key", "", False),
+}
+DEFAULT_BLOCKING_FAMILIES = ("exact", "chunk", "minhash", "title")
+
+
+def blocking_keys_from_signature(
+    sig: dict, families: tuple[str, ...] = DEFAULT_BLOCKING_FAMILIES
+) -> list[tuple[str, str]]:
+    """(family, key) list for one signature row — the oracle-side consumer
+    of ``BLOCKING_FAMILY_SPEC`` (the Spark side is
+    ``operators.blocking.blocks_stage``, built from the same spec)."""
+    keys: list[tuple[str, str]] = []
+    for fam in families:
+        col, prefix, is_array = BLOCKING_FAMILY_SPEC[fam]
+        v = sig[col]
+        if v is None:
+            continue
+        if is_array:
+            keys.extend((fam, prefix + k) for k in v)
+        else:
+            keys.append((fam, prefix + v))
+    return keys
+
 
 def embed_hashes(tokens: list[str]):
     """(values, counts) of 3-gram shingle hashes — the embedding features."""

@@ -32,31 +32,22 @@ from dataclasses import dataclass, field
 from yams_spark.functions.chunker import PAGE_CHUNKING, ChunkingConfig
 from yams_spark.functions.similarity import cosine_similarity
 from yams_spark.functions.textnorm import jaccard_overlap
-from yams_spark.operators.signatures import compute_signature_row
+from yams_spark.operators.signatures import (
+    DEFAULT_BLOCKING_FAMILIES as DEFAULT_FAMILIES,
+    blocking_keys_from_signature,
+    compute_signature_row,
+)
 
 ALGORITHM_VERSION = "semantic-dedupe-v1"
-
-
-DEFAULT_FAMILIES = ("exact", "chunk", "minhash", "title")
 
 
 def blocking_keys(
     sig: dict, families: tuple[str, ...] = DEFAULT_FAMILIES
 ) -> list[tuple[str, str]]:
-    """(family, key) list for one signature row — shared blocking contract
-    (must mirror operators.blocking.blocks_stage / DEFAULT_FAMILIES)."""
-    keys: list[tuple[str, str]] = []
-    if "exact" in families:
-        keys.append(("exact", "tx:" + sig["text_hash"]))
-    if "chunk" in families:
-        keys += [("chunk", "ck:" + h) for h in sig["chunk_hashes"]]
-    if "minhash" in families:
-        keys += [("minhash", k) for k in sig["minhash_bands"]]
-    if "simhash" in families:
-        keys += [("simhash", k) for k in sig["simhash_bands"]]
-    if "title" in families and sig["title_key"]:
-        keys.append(("title", sig["title_key"]))
-    return keys
+    """(family, key) list for one signature row — delegates to the shared
+    blocking contract in operators/signatures.py (the same spec the Spark
+    ``blocks_stage`` is built from)."""
+    return blocking_keys_from_signature(sig, families)
 
 
 @dataclass

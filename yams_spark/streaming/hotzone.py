@@ -48,7 +48,11 @@ def fold_events(
 ) -> tuple[float, datetime | None]:
     """record() semantics (hotzone_manager.cpp:25-41) folded over a sorted
     event list: score = score·decay(elapsed) + weight. Elapsed is truncated
-    to whole minutes like the C++ duration_cast."""
+    to whole minutes like the C++ duration_cast, and clamped to >= 0: the
+    reference decays against wall-clock *now*, which can never run
+    backwards, so an out-of-order event (older than the stored last_ts
+    across micro-batches) only adds weight — it must not inflate the score
+    via 0.5^(negative) > 1 inverse decay."""
     score, last = initial_score, initial_ts
     for ts, weight in sorted(events, key=lambda e: e[0]):
         if weight <= 0.0:
@@ -56,10 +60,11 @@ def fold_events(
         if last is None:
             score, last = weight, ts
             continue
-        minutes = int((ts - last).total_seconds() // 60)
+        minutes = max(0, int((ts - last).total_seconds() // 60))
         hours = minutes / 60.0
         score = score * decay_factor(hours, half_life_hours) + weight
-        last = ts
+        if ts > last:
+            last = ts
     return score, last
 
 

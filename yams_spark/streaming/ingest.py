@@ -6,9 +6,12 @@ PostIngestQueue.cpp:289-500) with per-stage concurrency and resume. There
 are no event-time semantics in the reference (ordering is by monotonically
 increasing ids; indexed_time is processing-time), so the Spark recast is a
 file-source stream of page batches driven through the same signature stage
-via ``foreachBatch``, with per-batch watermark rows appended to the metrics
-table — each micro-batch is idempotent and the checkpointLocation gives
-exactly-once resume (the WAL analog, wal_manager.h:23-80).
+via ``foreachBatch``, with per-batch watermark rows written to the metrics
+table. foreachBatch is at-least-once, so each micro-batch write is made
+idempotent by partitioning on ``batch_id`` with dynamic partition
+overwrite: a replayed batch rewrites its own partition instead of
+appending duplicates, and the checkpointLocation gives resume (the WAL
+analog, wal_manager.h:23-80).
 """
 
 from __future__ import annotations
@@ -48,8 +51,18 @@ def start_ingest_stream(
     metrics_path = os.path.join(output_dir, "stream_metrics.parquet")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sig = signatures_stage(batch_df)
-        sig.write.mode("append").parquet(sig_path)
+        # foreachBatch is at-least-once: a batch replayed after a mid-batch
+        # failure must not duplicate rows. Partitioning by batch_id with
+        # dynamic partition overwrite makes the replay idempotent — the
+        # rewritten partition replaces any partial output of the failed
+        # attempt, and committed batch_ids are simply rewritten in place.
+        sig = signatures_stage(batch_df).withColumn("batch_id", F.lit(int(batch_id)))
+        (
+            sig.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sig_path)
+        )
         row = batch_df.sparkSession.createDataFrame(
             [(int(batch_id),)], "batch_id long"
         ).select(
@@ -57,7 +70,12 @@ def start_ingest_stream(
             F.lit("stream_sign").alias("stage"),
             F.current_timestamp().alias("watermark_ts"),
         )
-        row.write.mode("append").parquet(metrics_path)
+        (
+            row.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(metrics_path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
