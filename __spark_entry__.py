@@ -319,15 +319,23 @@ def q11_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q12_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-RRF evidence fusion (evidence_search_pipeline.cpp:49-56,
-    rrfK=12): two signals = n_chars rank and doc_id-hash rank."""
+    rrfK=12): two signals = n_chars rank and doc_id-hash rank. Global ranks
+    via the range-partition + offset pattern (operators.search.global_rank)
+    — no single-partition window at any scale."""
+    _ship_package(spark)
+    from yams_spark.operators.search import global_rank
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w1 = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    w2 = Window.orderBy(
-        F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).asc(),
-        F.col("doc_id").asc(),
+    ranked = global_rank(
+        d, [F.col("n_chars").desc(), F.col("doc_id").asc()], "rank1"
     )
-    ranked = d.withColumn("rank1", F.row_number().over(w1)).withColumn(
-        "rank2", F.row_number().over(w2)
+    ranked = global_rank(
+        ranked,
+        [
+            F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).asc(),
+            F.col("doc_id").asc(),
+        ],
+        "rank2",
     )
     fused = ranked.withColumn(
         "fused_score",
@@ -505,6 +513,19 @@ def q20_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_topn(spark, e, n=100)
 
 
+def q31_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >250k-regime ANN scale path, forced: sign-bit LSH band keys
+    (8 bands x 8 dims), within-band candidate join, exact cosine only
+    inside buckets (ann.py near_dup_pairs_bucketed — no driver collect
+    anywhere on the plan; the exact/ANN switch mirrors
+    EmbeddingService.cpp:556-558)."""
+    _ship_package(spark)
+    from yams_spark.operators.ann import near_dup_pairs_bucketed
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return near_dup_pairs_bucketed(e, threshold=0.25)
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -526,22 +547,24 @@ def q22_fusion_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-RRF evidence fusion with per-source best-rank/raw aggregation
     (evidence_search_pipeline.cpp:49-56,184-229) over two synthetic signals."""
     _ship_package(spark)
-    from yams_spark.operators.search import fuse_evidence
+    from yams_spark.operators.search import fuse_evidence, global_rank
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w1 = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    w2 = Window.orderBy(F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).asc())
-    text = d.select(
+    r1 = global_rank(d, [F.col("n_chars").desc(), F.col("doc_id").asc()], "rank1")
+    r2 = global_rank(
+        d, [F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).asc()], "rank2"
+    )
+    text = r1.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("text").alias("source"),
         F.least(F.col("n_chars") / F.lit(600.0), F.lit(1.0)).alias("score"),
-        (F.row_number().over(w1) - 1).alias("rank"),
+        (F.col("rank1") - 1).alias("rank"),
     )
-    vec = d.select(
+    vec = r2.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("vector").alias("source"),
         F.lit(0.5).alias("score"),
-        (F.row_number().over(w2) - 1).alias("rank"),
+        (F.col("rank2") - 1).alias("rank"),
     )
     fused = fuse_evidence(text.unionByName(vec))
     return (
@@ -818,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_graph_bfs": q28_graph_bfs,
         "q29_path_prefix_agg": q29_path_prefix_agg,
         "q30_metadata_kv_counts": q30_metadata_kv_counts,
+        "q31_ann_lsh_bucketed": q31_ann_lsh_bucketed,
         "er_clusters": er_clusters,
         "er_members": er_members,
         "er_scored_pairs": er_scored_pairs,
@@ -1144,5 +1168,26 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'source', source FROM documents)
             SELECT key, value, COUNT(*) AS n FROM kv GROUP BY key, value
+        """,
+        "q31_ann_lsh_bucketed": f"""
+            WITH b AS (
+                SELECT vec_id,
+                       i || ':' || array_to_string(list_transform(
+                           embedding[(i*8+1):(i*8+8)],
+                           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS band
+                FROM embeddings, unnest(range(0, 8)) AS t(i)),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+                FROM b a JOIN b bb ON a.band = bb.band AND a.vec_id < bb.vec_id),
+            scored AS (
+                SELECT id_a, id_b,
+                       {dot_duck.format(a='ea.embedding', b='eb.embedding')}
+                       / (sqrt({dot_duck.format(a='ea.embedding', b='ea.embedding')})
+                          * sqrt({dot_duck.format(a='eb.embedding', b='eb.embedding')})) AS cos
+                FROM cand
+                JOIN embeddings ea ON ea.vec_id = id_a
+                JOIN embeddings eb ON eb.vec_id = id_b)
+            SELECT id_a, id_b, CAST(ROUND(cos, 5) AS DOUBLE) AS cosine
+            FROM scored WHERE ROUND(cos, 5) >= 0.25
         """,
     }

@@ -267,3 +267,57 @@ def test_blocking_contract_shared_between_pipeline_and_oracle(spark) -> None:
         for r in blocks_stage(signatures_stage(pages), all_fams).collect()
     }
     assert got == expected
+
+
+def test_ann_scale_gate_and_bucketed_recall(spark) -> None:
+    """Above max_exact_rows the ANN ops must route through the LSH-bucketed
+    path (no driver collect of the corpus); near-identical vectors (the
+    near-dup regime the bucket path serves) must be recalled, and bucketed
+    cosines must equal the exact path's on shared pairs."""
+    import numpy as np
+
+    from yams_spark.operators.ann import (
+        cosine_topk,
+        near_dup_pairs_bucketed,
+        near_dup_pairs_topn,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(10, 64)).astype(np.float32)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 near-identical copies per family
+            v = b + rng.normal(scale=1e-3, size=64).astype(np.float32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # force the bucketed route by shrinking the exact-path budget to zero
+    approx = near_dup_pairs_topn(spark, corpus, n=1000, max_exact_rows=0)
+    exact = near_dup_pairs_topn(spark, corpus, n=1000, max_exact_rows=None)
+    a = {(r["id_a"], r["id_b"]): r["cosine"] for r in approx.collect()}
+    e = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    # every true near-dup pair (same family => cosine ~1) is recalled
+    truedups = {k for k, v in e.items() if v >= 0.99}
+    assert truedups, "fixture should contain near-dup pairs"
+    assert truedups <= set(a), "bucketed path missed a near-identical pair"
+    # and shared pairs carry identical (rounded) cosines
+    for k in set(a) & set(e):
+        assert a[k] == e[k]
+
+    # topk: same gate, self excluded, correct per-query counts
+    q = corpus.where("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    topk = cosine_topk(spark, corpus, q, k=2, max_exact_rows=0).collect()
+    by_q = {}
+    for r in topk:
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    # each query's 2 family siblings share every band => both recalled
+    for qid, hits in by_q.items():
+        sibs = {r["vec_id"] for r in hits if r["cosine"] >= 0.99}
+        assert len(sibs) == 2, (qid, hits)
+
+    # threshold filter applies post-rounding
+    thr = near_dup_pairs_bucketed(corpus, threshold=0.99)
+    assert thr.where("cosine < 0.99").count() == 0

@@ -156,3 +156,52 @@ def test_pipeline_deterministic(spark, corpus, pipeline_result) -> None:
     a = set(pipeline_result["clusters"].toPandas()["group_key"])
     b = set(second["clusters"].toPandas()["group_key"])
     assert a == b
+
+
+def test_oversized_component_split_wired(spark, tmp_path) -> None:
+    """A forced mega-family (identical text => one exact block => dense
+    accepted pairs) must publish bounded clusters when max_component_docs
+    is set, and emit a cluster_split lineage row; with the flag off the
+    mega-cluster publishes whole (oracle equality preserved by default)."""
+    import pandas as pd
+
+    n = 24
+    shared = "identical boilerplate page body " * 20
+    rows = []
+    for i in range(n):
+        html = f"<html><title>Mega Page</title><body><p>{shared}</p></body></html>"
+        rows.append(
+            {
+                "url": f"https://mega.example/p{i:03d}",
+                "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+                "html": html.encode(),
+                "text": None,
+                "lang": "en",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["text"] = None
+    pages = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    # flag off: one component of 24
+    out_off = run_pipeline(spark, pages, PipelineConfig())
+    sizes_off = [r["member_count"] for r in out_off["clusters"].collect()]
+    assert sizes_off == [n]
+
+    # flag on: every published cluster bounded by the cap; split lineage row
+    ckpt = str(tmp_path / "ck_split")
+    out_on = run_pipeline(
+        spark, pages, PipelineConfig(checkpoint_dir=ckpt, max_component_docs=8)
+    )
+    clusters = out_on["clusters"].collect()
+    assert clusters, "split must still publish sub-clusters"
+    assert max(r["member_count"] for r in clusters) <= 8
+    assert all("#" in r["component"] for r in clusters)
+    split_metrics = out_on["metrics"].where("stage = 'cluster_split'").collect()
+    assert len(split_metrics) == 1
+    assert split_metrics[0]["rows_out"] == len(clusters)
+    # membership is preserved: every page lands in exactly one sub-cluster
+    mem = out_on["members"].select("url").collect()
+    assert len({r["url"] for r in mem}) == len(mem)

@@ -1,15 +1,27 @@
-"""Similarity search over embedding columns.
+"""Similarity search over embedding columns, scale-gated like the reference.
 
-Brute-force cosine top-k is the exactness baseline the reference uses for
-small candidate sets (exact all-pairs fallback when |sources|x|corpus| <=
-250k, EmbeddingService.cpp:556-558); the Spark-scale pattern here is
-*broadcast matmul*: the smaller side is shipped to every executor as a
-numpy matrix and each Arrow batch of the larger side computes a dense
-(batch x corpus) cosine block, pruning to top-k locally before the global
-top-k — no per-row JVM lambda evaluation, no quadratic shuffle.
+The reference switches between an exact all-pairs path and the ANN index at
+|sources|x|corpus| <= 250k (EmbeddingService.cpp:556-558). Same shape here:
 
-An LSH-bucketed variant (minhash/simhash bands from the signature stage)
-covers the >250k regime: candidates only within shared bands.
+* **exact path** (corpus <= ``EXACT_MAX_CORPUS_ROWS``): *broadcast matmul*
+  — the corpus is shipped to every executor as a numpy matrix and each
+  Arrow batch of the query side computes a dense (batch x corpus) cosine
+  block, pruning to top-k locally before the global top-k. No per-row JVM
+  lambda evaluation, no quadratic shuffle — but the corpus must fit on the
+  driver, so this path is explicitly size-gated.
+* **bucketed path** (above the gate): deterministic sign-bit LSH over the
+  embedding itself (``sign_lsh_bands``: each band is the sign pattern of a
+  contiguous dim slice — axis-aligned random-hyperplane LSH, chosen over
+  dense Gaussian planes because it is reproducible in plain SQL for the
+  DuckDB oracle). Candidates are the within-band equi-join; exact cosine
+  runs only inside buckets. Fully distributed — no driver materialization
+  anywhere on the path. Approximate by design: per-band match probability
+  for a pair at angle θ is (1-θ/π)^band_bits, ≈93% recall at cosine 0.9
+  with 8x8 bands; documented trade-off of every LSH ANN.
+
+``cosine_topk`` / ``near_dup_pairs_topn`` route between the two on
+``corpus.count()`` — q19/q20-style small corpora keep exact results, a
+100TB embedding table never touches the driver.
 """
 
 from __future__ import annotations
@@ -18,6 +30,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+#: exact-vs-ANN switch, mirroring EmbeddingService.cpp:556-558
+EXACT_MAX_CORPUS_ROWS = 250_000
+N_LSH_BANDS = 8
+LSH_BAND_BITS = 8
 
 
 def round_half_away(x, decimals: int):
@@ -35,6 +52,151 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+def sign_lsh_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bands: int = N_LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+    out_col: str = "lsh_band",
+) -> DataFrame:
+    """Explode each row to ``n_bands`` deterministic LSH band keys: band i
+    is ``"i:" + sign-bit string`` of embedding dims [i*band_bits,
+    (i+1)*band_bits). Axis-aligned hyperplane LSH for cosine — pure
+    Catalyst (no UDF) and byte-reproducible in DuckDB SQL."""
+    keys = []
+    for i in range(n_bands):
+        bits = F.concat_ws(
+            "",
+            F.transform(
+                F.slice(vec_col, i * band_bits + 1, band_bits),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        )
+        keys.append(F.concat(F.lit(f"{i}:"), bits))
+    return df.withColumn(out_col, F.explode(F.array(*keys)))
+
+
+def _pair_cosine(
+    pairs_with_vecs: DataFrame,
+    out_cols: tuple[str, str],
+    round_to: int = 5,
+) -> DataFrame:
+    """(id_a, vec_a, id_b, vec_b) -> (id_a, id_b, cosine): Arrow-batched
+    float64 einsum, half-away rounding — same math as the broadcast path."""
+    a_col, b_col = out_cols
+
+    def compute(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["vec_a"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["vec_b"].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", va, vb)
+            denom = np.sqrt(np.einsum("ij,ij->i", va, va)) * np.sqrt(
+                np.einsum("ij,ij->i", vb, vb)
+            )
+            denom[denom == 0.0] = np.inf
+            yield pd.DataFrame(
+                {
+                    a_col: pdf[a_col],
+                    b_col: pdf[b_col],
+                    "cosine": round_half_away(dots / denom, round_to),
+                }
+            )
+
+    return pairs_with_vecs.mapInPandas(
+        compute, schema=f"{a_col} long, {b_col} long, cosine double"
+    )
+
+
+def lsh_bucketed_pair_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = N_LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >=1 sign-LSH band —
+    the scale path's candidate generation (shuffle on band key only)."""
+    b = sign_lsh_bands(
+        corpus.select(id_col, vec_col), vec_col, n_bands, band_bits
+    ).select("lsh_band", F.col(id_col).alias("id"))
+    left = b.select("lsh_band", F.col("id").alias("id_a"))
+    right = b.select("lsh_band", F.col("id").alias("id_b"))
+    return (
+        left.join(right, "lsh_band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def near_dup_pairs_bucketed(
+    corpus: DataFrame,
+    threshold: float = -1.0,
+    n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+    n_bands: int = N_LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates from shared sign bands,
+    exact cosine inside buckets, filtered to >= threshold; optional global
+    top-n via TakeOrderedAndProject (never a global window)."""
+    cand = lsh_bucketed_pair_candidates(corpus, id_col, vec_col, n_bands, band_bits)
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    scored = _pair_cosine(
+        cand.join(a, "id_a").join(b, "id_b"), ("id_a", "id_b"), round_to
+    ).where(F.col("cosine") >= threshold)
+    ordered = scored.orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return ordered.limit(n) if n is not None else ordered
+
+
+def cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+    n_bands: int = N_LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+) -> DataFrame:
+    """Approximate top-k per query over LSH candidates only; the rank
+    window partitions by query_id (no global single-partition sort)."""
+    qb = sign_lsh_bands(
+        queries.select(F.col(query_id_col).cast("long"), vec_col),
+        vec_col, n_bands, band_bits,
+    ).select("lsh_band", query_id_col, F.col(vec_col).alias("vec_a"))
+    cb = sign_lsh_bands(
+        corpus.select(id_col, vec_col), vec_col, n_bands, band_bits
+    ).select("lsh_band", id_col, F.col(vec_col).alias("vec_b"))
+    cand = (
+        qb.join(cb, "lsh_band")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .dropDuplicates([query_id_col, id_col])
+        .select(
+            F.col(query_id_col).alias("id_a"), F.col("vec_a"),
+            F.col(id_col).alias("id_b"), F.col("vec_b"),
+        )
+    )
+    scored = _pair_cosine(cand, ("id_a", "id_b"), round_to)
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("id_a").alias(query_id_col), F.col("id_b").alias(id_col),
+            "cosine", F.col("rk").cast("int"),
+        )
+    )
+
+
 def cosine_topk(
     spark: SparkSession,
     corpus: DataFrame,
@@ -44,12 +206,20 @@ def cosine_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     round_to: int = 5,
+    max_exact_rows: int = EXACT_MAX_CORPUS_ROWS,
 ) -> DataFrame:
-    """Exact top-k neighbors per query (excluding self id), broadcast matmul.
+    """Top-k neighbors per query (excluding self id), scale-gated.
 
-    Returns (query_id, vec_id, cosine, rk); cosine rounded for stable
-    cross-engine comparison; ties broken by vec_id asc.
+    Exact broadcast matmul while the corpus fits the reference's 250k
+    exact-path budget; LSH-bucketed approximate search above it (the
+    corpus never leaves the executors). Returns (query_id, vec_id, cosine,
+    rk); cosine rounded for stable cross-engine comparison; ties broken by
+    vec_id asc.
     """
+    if max_exact_rows is not None and corpus.count() > max_exact_rows:
+        return cosine_topk_bucketed(
+            corpus, queries, k, id_col, query_id_col, vec_col, round_to
+        )
     ids, mat = _collect_matrix(corpus, id_col, vec_col)
     norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
@@ -94,14 +264,24 @@ def near_dup_pairs_topn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 5,
+    max_exact_rows: int = EXACT_MAX_CORPUS_ROWS,
 ) -> DataFrame:
-    """Global top-n most-similar pairs (id_a < id_b), exact.
+    """Global top-n most-similar pairs (id_a < id_b), scale-gated.
 
-    Per Arrow batch: dense (batch x corpus) cosine, local top-n prune,
-    then a global top-n — exact because every pair is seen by exactly
-    the batch holding its smaller... (either) side, and local prune keeps
-    n candidates ordered identically to the global ordering.
+    Exact while the corpus fits the 250k exact-path budget: per Arrow
+    batch, dense (batch x corpus) cosine, local top-n prune, then a global
+    top-n — exact because every pair is seen by exactly the batch holding
+    its smaller... (either) side, and local prune keeps n candidates
+    ordered identically to the global ordering. Above the gate: LSH-
+    bucketed candidates + within-bucket exact cosine, fully distributed.
     """
+    if max_exact_rows is not None and corpus.count() > max_exact_rows:
+        return near_dup_pairs_bucketed(
+            corpus, threshold=-1.0, n=n, id_col=id_col, vec_col=vec_col,
+            round_to=round_to,
+        ).select(
+            F.col("id_a"), F.col("id_b"), F.col("cosine")
+        )
     ids, mat = _collect_matrix(corpus, id_col, vec_col)
     norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
     bc = spark.sparkContext.broadcast((ids, mat, norms))

@@ -147,6 +147,7 @@ def clusters_stage(
     accepted_pairs: DataFrame,
     threshold: float = 0.92,
     strategy: str = "keep-newest",
+    max_component_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Publish (clusters, members) mirroring semantic_duplicate_groups /
     _members (migration.cpp:2598-2663; trace dedupe.cpp:217-350).
@@ -156,10 +157,21 @@ def clusters_stage(
     max_pair_score, direct-pair member metrics) runs in one Arrow-batched
     mapInPandas pass — plain python per component, no per-group pandas
     frame construction, two shuffles total.
+
+    ``max_component_docs`` (default off, preserving oracle equality) bounds
+    the packed collect_list rows: components larger than the cap are split
+    by ``split_oversized_components`` (topology_baseline.cpp:44-120,
+    reference cap 64) before packing, so one boilerplate mega-component can
+    never become a single-task OOM. Split sub-components are visible as
+    ``<component>#<i>`` labels in the published output.
     """
     import pandas as pd
 
     labels = connected_components(accepted_pairs)
+    if max_component_docs is not None:
+        labels = split_oversized_components(
+            labels, accepted_pairs, max_component_docs
+        )
 
     members_packed = (
         signatures.select("url", "warc_ts", "size", "doc_hash")

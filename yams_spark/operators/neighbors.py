@@ -20,6 +20,7 @@ from yams_spark.operators.search import (
     bm25_scores,
     build_posting_lists,
     fuse_evidence,
+    global_rank,
     normalize_bm25,
     topk_with_rescue,
 )
@@ -84,12 +85,18 @@ def hybrid_search(
     # FTS5 bm25 is negative-better; ours is positive-better → negate before
     # the reference's range normalization (lexical_scoring.cpp:18-43)
     lex = normalize_bm25(lex.withColumn("bm25", -F.col("bm25")))
-    w_lex = Window.orderBy(F.col("norm_score").desc(), F.col("doc_id").asc())
-    lex_comp = lex.select(
+    # rank only a bounded candidate pool (the reference pools max(8, 4·topK)
+    # per component): orderBy().limit() is TakeOrderedAndProject, and the
+    # rank window then runs over <= pool rows — one deliberate, bounded
+    # partition instead of an unbounded global sort.
+    pool = max(limit * 5, 50)
+    lex_order = [F.col("norm_score").desc(), F.col("doc_id").asc()]
+    lex_pooled = lex.orderBy(*lex_order).limit(pool)
+    lex_comp = global_rank(lex_pooled, lex_order, "rk").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("text").alias("source"),
         F.col("norm_score").alias("score"),
-        (F.row_number().over(w_lex) - 1).alias("rank"),
+        (F.col("rk") - 1).alias("rank"),
     )
 
     components = lex_comp

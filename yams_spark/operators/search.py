@@ -194,6 +194,51 @@ def fuse_evidence(
     return fused
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global row_number over ``order_cols`` (must be a total
+    order — include a unique tie-break) WITHOUT a single-partition window.
+
+    ``Window.orderBy`` with no partitionBy moves every row to one partition
+    — the classic scale-killer. The scalable pattern instead: range-
+    repartition on the order columns, pin the partitioning (localCheckpoint
+    so the count job and the rank job see identical partition ids), collect
+    the tiny per-partition counts, and rank within each partition plus its
+    cumulative offset. Two shuffles + one scalar-sized collect, no
+    single-partition stage.
+    """
+    cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    if not counts:
+        return df.withColumn(rank_col, F.lit(None).cast("int"))
+    offsets: list = []
+    acc = 0
+    for pid in sorted(counts):
+        offsets.extend([F.lit(pid), F.lit(acc)])
+        acc += counts[pid]
+    off_expr = F.coalesce(
+        F.element_at(F.create_map(*offsets), F.col("__pid")), F.lit(0)
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return parted.withColumn(
+        rank_col, (F.row_number().over(w) + off_expr).cast("int")
+    ).drop("__pid")
+
+
 def topk_with_rescue(
     results: DataFrame,
     limit: int,
@@ -204,18 +249,23 @@ def topk_with_rescue(
 ) -> DataFrame:
     """Truncate to ``limit`` by (score desc, id asc); then additively append
     up to ``rescue_slots`` eligible tail candidates — rescue never displaces
-    the head (evidence_search_pipeline.cpp:250-332)."""
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-    ranked = results.withColumn("__rk", F.row_number().over(w))
-    head = ranked.where(F.col("__rk") <= limit)
+    the head (evidence_search_pipeline.cpp:250-332).
+
+    Both head and tail are ``orderBy().limit()`` (TakeOrderedAndProject —
+    a per-partition top-k then a k-row merge), never a global rank window:
+    no single-partition sort at any scale.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    head = results.orderBy(*order).limit(limit)
     if rescue_slots > 0 and eligible_col is not None:
         tail = (
-            ranked.where((F.col("__rk") > limit) & F.col(eligible_col))
-            .orderBy(F.col("__rk").asc())
+            results.join(head.select(id_col), id_col, "left_anti")
+            .where(F.col(eligible_col))
+            .orderBy(*order)
             .limit(rescue_slots)
         )
-        return head.unionByName(tail).drop("__rk")
-    return head.drop("__rk")
+        return head.unionByName(tail)
+    return head
 
 
 def cross_rerank_blend(

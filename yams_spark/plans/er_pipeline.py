@@ -49,6 +49,11 @@ class PipelineConfig:
     threshold: float = 0.92  # dedupe.h:16
     strategy: str = "keep-newest"  # dedupe.h:15
     block_cap: int = DEFAULT_BLOCK_CAP
+    #: cap on published component size (topology_baseline.cpp:44-120 uses
+    #: 64). None = off (default), preserving exact oracle equality; when
+    #: set, oversized components are split before the packed publish and a
+    #: `cluster_split` lineage row records how many components fired.
+    max_component_docs: int | None = None
     chunk_cfg: ChunkingConfig = field(default_factory=lambda: PAGE_CHUNKING)
     checkpoint_dir: str | None = None
     run_id: str = ""
@@ -232,12 +237,34 @@ def run_pipeline(
         members = spark.read.parquet(_stage_path(cfg, "cluster_members"))
     else:
         clusters, members = clusters_stage(
-            signatures, accepted, cfg.threshold, cfg.strategy
+            signatures, accepted, cfg.threshold, cfg.strategy,
+            max_component_docs=cfg.max_component_docs,
         )
         clusters = _commit_stage(spark, cfg, "cluster_groups", clusters)
         members = _commit_stage(spark, cfg, "cluster_members", members)
         _append_metrics(cfg, _partition_metrics(clusters, cfg.run_id, "cluster_groups"))
         _append_metrics(cfg, _partition_metrics(members, cfg.run_id, "cluster_members"))
+        if cfg.max_component_docs is not None and cfg.checkpoint_dir is not None:
+            # lineage: one row per split parent component (labels look like
+            # "<component>#<i>"), rows_out = sub-clusters it produced
+            split_rows = (
+                clusters.where(F.col("component").contains("#"))
+                .withColumn("parent", F.substring_index("component", "#", 1))
+                .groupBy("parent")
+                .agg(F.count("*").alias("n_sub"), F.sum("member_count").alias("n_docs"))
+                .select(
+                    F.lit(cfg.run_id).alias("run_id"),
+                    F.lit("cluster_split").alias("stage"),
+                    F.lit(-1).alias("partition_id"),
+                    F.col("parent").alias("block_id"),
+                    F.lit(None).cast("long").alias("pair_count"),
+                    F.lit(None).cast("array<long>").alias("score_histogram"),
+                    F.col("n_docs").cast("long").alias("rows_in"),
+                    F.col("n_sub").cast("long").alias("rows_out"),
+                    F.current_timestamp().alias("watermark_ts"),
+                )
+            )
+            _append_metrics(cfg, split_rows)
     out["clusters"] = clusters
     out["members"] = members
 
