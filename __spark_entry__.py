@@ -526,6 +526,78 @@ def q31_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_bucketed(e, threshold=0.25)
 
 
+def q32_grep_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep/content scan with the literal-prefilter cascade
+    (grep_service.cpp:412-446, the two-phase ripgrep strategy): substring
+    prefilter on the extracted literal, full regex only on survivors."""
+    _ship_package(spark)
+    from yams_spark.operators.grep import grep_scan
+
+    d = _t(spark, sf_dir, "documents")
+    return grep_scan(d, "stream[a-z]*").select(
+        "doc_id", F.col("n_matches").cast("int").alias("n_matches")
+    )
+
+
+def q33_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5-style snippet(documents_fts, 0, '<b>', '</b>', '...', 16)
+    analog (search_ops.cpp:191): 16-token window around the first query-
+    term hit with <b> wrapping, pure Catalyst array ops."""
+    _ship_package(spark)
+    from yams_spark.operators.grep import with_snippets
+
+    d = _t(spark, sf_dir, "documents")
+    return with_snippets(d, "stream").select("doc_id", "snippet")
+
+
+def q34_path_tree_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-tree rollup with embedding centroids (path_tree_nodes:
+    migration.cpp:1673-1707; accumulatePathTreeCentroid
+    path_tree_ops.cpp:220-275): per-prefix doc_count, centroid_weight and
+    the per-dimension centroid mean, exploded to scalar rows for the
+    cross-engine hash."""
+    _ship_package(spark)
+    from yams_spark.operators.pathtree import path_tree_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    docs = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        F.concat(F.lit("/"), "source", F.lit("/"), "lang").alias("path"),
+        "embedding",
+    )
+    out = path_tree_rollup(docs, "path", "embedding")
+    return out.select(
+        "prefix", "doc_count", "centroid_weight",
+        F.posexplode("centroid").alias("pos", "val"),
+    ).select(
+        "prefix", "doc_count", "centroid_weight",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("val", 6).cast("double").alias("val"),
+    )
+
+
+def q35_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank for kg_node_stats (migration.cpp:924): 3 damped iterations
+    over a deterministic 20-node graph derived from orders; the oracle
+    unrolls the same 3 iterations in SQL."""
+    _ship_package(spark)
+    from yams_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 20).cast("long").alias("src"),
+            (F.col("o_orderkey") % 20).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = pagerank(edges, damping=0.85, max_iter=3)
+    return out.select(
+        "node", F.round("pagerank", 8).cast("double").alias("pagerank")
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -743,6 +815,41 @@ def q30_metadata_kv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.groupBy("key", "value").agg(F.count("*").alias("n"))
 
 
+def er_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A DuckDB-hash-verifiable slice of the REAL ER pipeline: the full
+    sign→block→pair→score→cluster DAG runs with exact-family blocking only
+    over a deterministic page set built from the documents table (html =
+    text bytes, so text is taken verbatim; doc_hash = sha256(text)). With
+    exact blocking, candidate pairs exist only between identical texts
+    (cosine 1.0 ≥ 0.975 gate ⇒ accepted), so the published clusters equal
+    'group identical texts, ≥2 members, canonical = newest (ts desc, url
+    asc), group_key = semantic:keep-newest:0.920: + sorted hashes' — all
+    of which DuckDB can state in plain SQL (dedupe.cpp:217-350 semantics)."""
+    _ship_package(spark)
+    from yams_spark.plans.er_pipeline import PipelineConfig, run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("dup://"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 60 + F.lit(30)
+        ).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    pages = base.unionByName(dups)
+    out = run_pipeline(spark, pages, PipelineConfig(families=("exact",)))
+    return out["clusters"].select("group_key", "canonical_url", "member_count")
+
+
 def er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule metric: pairwise P/R/F1 on labeled same-block pairs."""
     _ship_package(spark)
@@ -842,6 +949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_path_prefix_agg": q29_path_prefix_agg,
         "q30_metadata_kv_counts": q30_metadata_kv_counts,
         "q31_ann_lsh_bucketed": q31_ann_lsh_bucketed,
+        "q32_grep_scan": q32_grep_scan,
+        "q33_snippet": q33_snippet,
+        "q34_path_tree_centroid": q34_path_tree_centroid,
+        "q35_pagerank": q35_pagerank,
+        "er_mini": er_mini,
         "er_clusters": er_clusters,
         "er_members": er_members,
         "er_scored_pairs": er_scored_pairs,
@@ -1168,6 +1280,103 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'source', source FROM documents)
             SELECT key, value, COUNT(*) AS n FROM kv GROUP BY key, value
+        """,
+        "q34_path_tree_centroid": """
+            WITH d AS (
+                SELECT documents.source, documents.lang, e.embedding
+                FROM documents JOIN embeddings e ON e.vec_id = documents.doc_id),
+            pref AS (
+                SELECT '/' || source AS prefix, embedding FROM d
+                UNION ALL
+                SELECT '/' || source || '/' || lang, embedding FROM d),
+            counts AS (
+                SELECT prefix, COUNT(*) AS doc_count, COUNT(embedding) AS centroid_weight
+                FROM pref GROUP BY prefix),
+            dims AS (
+                SELECT prefix,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                       unnest(embedding) AS v
+                FROM pref),
+            cent AS (
+                SELECT prefix, pos,
+                       CAST(ROUND(AVG(CAST(v AS DOUBLE)), 6) AS DOUBLE) AS val
+                FROM dims GROUP BY prefix, pos)
+            SELECT counts.prefix, counts.doc_count, counts.centroid_weight,
+                   cent.pos, cent.val
+            FROM counts JOIN cent ON cent.prefix = counts.prefix
+        """,
+        "q35_pagerank": """
+            WITH e AS (
+                SELECT DISTINCT o_custkey % 20 AS src, o_orderkey % 20 AS dst
+                FROM orders WHERE o_custkey % 20 <> o_orderkey % 20),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+            r1 AS (
+                SELECT nodes.node, (0.15 / nn.n) + 0.85 * COALESCE(m.mass, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN (
+                    SELECT e.dst AS node, SUM(r0.rank / deg.outdeg) AS mass
+                    FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+                    GROUP BY e.dst) m ON m.node = nodes.node),
+            r2 AS (
+                SELECT nodes.node, (0.15 / nn.n) + 0.85 * COALESCE(m.mass, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN (
+                    SELECT e.dst AS node, SUM(r1.rank / deg.outdeg) AS mass
+                    FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+                    GROUP BY e.dst) m ON m.node = nodes.node),
+            r3 AS (
+                SELECT nodes.node, (0.15 / nn.n) + 0.85 * COALESCE(m.mass, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN (
+                    SELECT e.dst AS node, SUM(r2.rank / deg.outdeg) AS mass
+                    FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
+                    GROUP BY e.dst) m ON m.node = nodes.node)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(ROUND(rank, 8) AS DOUBLE) AS pagerank
+            FROM r3
+        """,
+        "er_mini": """
+            WITH pages AS (
+                SELECT 'doc://' || doc_id AS url, doc_id * 60 AS ts, text
+                FROM documents
+                UNION ALL
+                SELECT 'dup://' || doc_id, doc_id * 60 + 30, text
+                FROM documents WHERE doc_id % 5 = 0),
+            g AS (SELECT text FROM pages GROUP BY text HAVING COUNT(*) >= 2),
+            m AS (
+                SELECT p.url, p.ts, p.text, sha256(p.text) AS doc_hash,
+                       ROW_NUMBER() OVER (PARTITION BY p.text
+                           ORDER BY p.ts DESC, p.url ASC) AS rk
+                FROM pages p JOIN g USING (text))
+            SELECT 'semantic:keep-newest:0.920:'
+                       || string_agg(doc_hash, ',' ORDER BY doc_hash) AS group_key,
+                   MIN(CASE WHEN rk = 1 THEN url END) AS canonical_url,
+                   COUNT(*) AS member_count
+            FROM m GROUP BY text
+        """,
+        "q32_grep_scan": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, 'stream[a-z]*')) AS INTEGER)
+                       AS n_matches
+            FROM documents
+            WHERE contains(text, 'stream')
+              AND len(regexp_extract_all(text, 'stream[a-z]*')) > 0
+        """,
+        "q33_snippet": f"""
+            WITH d AS (SELECT doc_id, {tok} AS tokens FROM documents),
+            hit AS (
+                SELECT doc_id, tokens,
+                       list_position(tokens, 'stream') AS pos
+                FROM d WHERE list_position(tokens, 'stream') > 0),
+            win AS (
+                SELECT doc_id, tokens,
+                       GREATEST(pos - 7, 1) AS s
+                FROM hit)
+            SELECT doc_id,
+                   array_to_string(list_transform(tokens[s : s + 15],
+                       t -> CASE WHEN t = 'stream' THEN '<b>' || t || '</b>'
+                                 ELSE t END), ' ') AS snippet
+            FROM win
         """,
         "q31_ann_lsh_bucketed": f"""
             WITH b AS (

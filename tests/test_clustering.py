@@ -24,7 +24,9 @@ def _uf_labels(nodes: list[str], edges: list[tuple[str, str]]) -> dict[str, str]
     return {n: min(members) for members in comp.values() for n in members}
 
 
-@pytest.mark.parametrize("driver_max", [0, 2_000_000])  # distributed vs union-find path
+# 0 = fully distributed; 2M = straight driver union-find; 250 = distributed
+# star rounds that contract under the gate, then driver finish (the hybrid)
+@pytest.mark.parametrize("driver_max", [0, 2_000_000, 250])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 30, 20), (2, 100, 80), (3, 200, 300), (4, 50, 0)])
 def test_cc_matches_union_find(spark, seed: int, n_nodes: int, n_edges: int, driver_max: int) -> None:
     rng = random.Random(seed)

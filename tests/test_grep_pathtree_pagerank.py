@@ -1,0 +1,129 @@
+"""Round-2 operators: grep cascade, snippets, path-tree centroid rollup,
+PageRank — goldens vs plain-Python / numpy references."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yams_spark.operators.grep import (
+    extract_literal,
+    grep_lines,
+    grep_scan,
+    snippet_expr,
+    with_snippets,
+)
+
+
+def test_extract_literal() -> None:
+    assert extract_literal("stream[a-z]*") == "stream"
+    assert extract_literal("foo|barbaz") == "barbaz"
+    assert extract_literal("colou?r") == "colo"  # 'u' optional -> excluded
+    assert extract_literal("ab+c") == "ab"  # 'b+' guarantees one 'b'... conservative run-split keeps "ab"
+    assert extract_literal(r"\d+ errors") == " errors"
+    assert extract_literal("x*") == ""
+    assert extract_literal(r"lit\.eral") == "lit.eral"  # escaped dot is literal
+
+
+def test_grep_scan_matches_python_re(spark) -> None:
+    rows = [
+        (1, "the stream flows into streams and streaming logs"),
+        (2, "no relevant word here"),
+        (3, "streamlined"),
+        (4, "st r eam split apart"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"] for r in grep_scan(docs, "stream[a-z]*").collect()}
+    want = {
+        i: len(re.findall("stream[a-z]*", t)) for i, t in rows if re.findall("stream[a-z]*", t)
+    }
+    assert got == want
+    # literal mode escapes regex metachars
+    lit = grep_scan(
+        spark.createDataFrame([(1, "a.b x a.b"), (2, "axb")], "doc_id long, text string"),
+        "a.b",
+        literal_text=True,
+    ).collect()
+    assert {(r["doc_id"], r["n_matches"]) for r in lit} == {(1, 2)}
+
+
+def test_grep_lines(spark) -> None:
+    docs = spark.createDataFrame(
+        [(1, "first line\nerror: boom\nlast line"), (2, "all quiet")],
+        "doc_id long, text string",
+    )
+    got = grep_lines(docs, "error: [a-z]+").collect()
+    assert [(r["doc_id"], r["line_no"], r["line"]) for r in got] == [
+        (1, 2, "error: boom")
+    ]
+
+
+def test_snippet_window_and_wrapping(spark) -> None:
+    words = [f"w{i}" for i in range(40)]
+    words[20] = "needle"
+    words[25] = "needle"
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = with_snippets(docs, "needle").collect()
+    assert len(out) == 1
+    snip = out[0]["snippet"].split(" ")
+    assert len(snip) == 16
+    # window starts 7 tokens before the first hit (pos 21 1-based -> start 14)
+    assert snip[0] == "w13"
+    assert snip[7] == "<b>needle</b>"
+    assert snip[12] == "<b>needle</b>"  # every in-window occurrence wrapped
+    # absent term -> no row
+    assert with_snippets(docs, "absent").count() == 0
+    # hit near the start clamps the window to token 1
+    docs2 = spark.createDataFrame([(1, "needle " + " ".join(words[:20]))],
+                                  "doc_id long, text string")
+    s2 = with_snippets(docs2, "needle").collect()[0]["snippet"].split(" ")
+    assert s2[0] == "<b>needle</b>" and len(s2) == 16
+
+
+def test_path_tree_rollup_centroid(spark) -> None:
+    from yams_spark.operators.pathtree import path_tree_rollup
+
+    rows = [
+        ("/a/x/f1", [1.0, 3.0], 10),
+        ("/a/x/f2", [3.0, 5.0], 20),
+        ("/a/y/f3", [5.0, 7.0], 30),
+        ("/b/z/f4", None, 40),  # null embedding: counted, not averaged
+    ]
+    docs = spark.createDataFrame(rows, "path string, embedding array<double>, sz long")
+    out = {
+        r["prefix"]: r
+        for r in path_tree_rollup(docs, "path", "embedding", size_col="sz").collect()
+    }
+    assert out["/a"]["doc_count"] == 3 and out["/a"]["centroid_weight"] == 3
+    assert out["/a"]["centroid"] == [3.0, 5.0]
+    assert out["/a/x"]["centroid"] == [2.0, 4.0]
+    assert out["/a/x"]["total_size"] == 30
+    assert out["/b"]["doc_count"] == 1 and out["/b"]["centroid_weight"] == 0
+    assert out["/b"]["centroid"] is None
+    assert out["/a/x/f1"]["doc_count"] == 1  # leaf node itself
+
+
+def test_pagerank_matches_power_iteration(spark) -> None:
+    from yams_spark.operators.graph import pagerank
+
+    # 4 nodes: cycle 0->1->2->0, 3 dangles off 2; 3 has no out-edges
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(df, 0.85, max_iter=25).collect()}
+
+    # numpy reference with uniform dangling redistribution
+    n, d = 4, 0.85
+    A = np.zeros((n, n))
+    outdeg = {0: 1, 1: 1, 2: 2}
+    for s, t in edges:
+        A[t, s] = 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        dangling = r[3]
+        r = (1 - d) / n + d * (A @ r + dangling / n)
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

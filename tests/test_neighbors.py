@@ -59,3 +59,44 @@ def test_hybrid_search_lexical_plus_vector(spark, sf_dir) -> None:
     assert any(r["doc_id"] == target for r in out)
     scores = [r["fused_score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_lexical_or_retry_expansion(spark) -> None:
+    """search_lexical_pipeline.cpp:246-290: a scarce AND query (< 3 base
+    hits) retries OR-expanded with the 0.65 score penalty on expanded-only
+    docs; an abundant query never fires the expansion."""
+    rows = [
+        (1, "alpha bravo charlie delta common words here"),
+        (2, "alpha bravo charlie something else entirely"),
+        (3, "alpha only document without the others"),
+        (4, "bravo only document without the others"),
+        (5, "charlie only document without the others"),
+        (6, "unrelated text about nothing in particular"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # scarce: all three terms together appear in only 2 docs -> expansion
+    out = hybrid_search(
+        spark, docs, query_text="alpha bravo charlie",
+        query_embedding=None, embedding_df=None, limit=10,
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert {"1", "2"} <= ids, "base AND hits must survive"
+    assert {"3", "4", "5"} <= ids, "OR expansion must pull single-term docs"
+    assert "6" not in ids
+
+    # abundant: single common term -> >= 3 base hits, expansion must NOT
+    # fire (expansion needs >= 2 terms anyway; check via a 2-term query)
+    out2 = hybrid_search(
+        spark, docs, query_text="document without",
+        query_embedding=None, embedding_df=None, limit=10,
+        enable_lexical_expansion=True,
+    ).collect()
+    ids2 = {r["doc_id"] for r in out2}
+    assert ids2 == {"3", "4", "5"}  # the 3 AND hits, nothing expanded
+
+    from yams_spark.operators.neighbors import expansion_terms
+
+    assert expansion_terms(["alpha", "of", "alpha", "bravo"]) == ["alpha", "bravo"]
+    assert expansion_terms(["ab", "xy"]) == []  # short tokens never expand
+    assert len(expansion_terms([f"term{i}" for i in range(10)])) == 6

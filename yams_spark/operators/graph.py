@@ -110,3 +110,66 @@ def node_degree_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "ds
         .fillna(0, ["out_degree", "in_degree"])
         .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Iterative DataFrame PageRank for kg_node_stats (the reference stores
+    a pagerank column per KG node, migration.cpp:924).
+
+        r_{k+1}(v) = (1-d)/N + d·(Σ_{u→v} r_k(u)/outdeg(u) + dangling/N)
+
+    Each iteration is one join + one aggregation on the (src-partitioned)
+    edge table; lineage is truncated per round with lazy localCheckpoint
+    (materialized by the round's own job — the CC loop's hygiene pattern).
+    The dangling mass is a scalar aggregate per round (one small job); at
+    10^12 edges the per-round cost is the contribution shuffle, which
+    reuses the edge table's partitioning across all rounds.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(None).cast("double"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = e.join(outdeg, "src").localCheckpoint(eager=False)
+    dangling_nodes = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_mass"))
+        )
+        dangling = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("rank").alias("pagerank"))

@@ -61,6 +61,31 @@ def semantic_neighbor_edges(
     )
 
 
+#: lexical OR-retry expansion defaults
+#: (search_engine_config.h:297-299; search_lexical_pipeline.cpp:246-290)
+LEXICAL_EXPANSION_MIN_HITS = 3
+LEXICAL_EXPANSION_PENALTY = 0.65
+LEXICAL_EXPANSION_MAX_TERMS = 6
+LEXICAL_EXPANSION_MIN_TERM_LEN = 3
+
+
+def expansion_terms(tokens: list[str]) -> list[str]:
+    """OR-expansion term selection (search_lexical_pipeline.cpp:252-264):
+    unique tokens of >= 3 chars, first 6 in query order; expansion only
+    fires with >= 2 of them."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for t in tokens:
+        if len(t) < LEXICAL_EXPANSION_MIN_TERM_LEN:
+            continue
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+        if len(out) >= LEXICAL_EXPANSION_MAX_TERMS:
+            break
+    return out if len(out) >= 2 else []
+
+
 def hybrid_search(
     spark: SparkSession,
     docs: DataFrame,
@@ -71,20 +96,41 @@ def hybrid_search(
     embedding_df: DataFrame | None = None,
     limit: int = 10,
     weights: dict[str, float] | None = None,
+    enable_lexical_expansion: bool = True,
+    expansion_min_hits: int = LEXICAL_EXPANSION_MIN_HITS,
+    expansion_penalty: float = LEXICAL_EXPANSION_PENALTY,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
-    (SearchEngine fanout → EvidenceSearchPipeline, SURVEY §3.2)."""
+    (SearchEngine fanout → EvidenceSearchPipeline, SURVEY §3.2).
+
+    The lexical base query is implicit-AND (FTS5 MATCH semantics). When it
+    returns fewer than ``expansion_min_hits`` documents, the OR-retry fires
+    (search_lexical_pipeline.cpp:246-290): up to 6 unique >=3-char tokens
+    are re-queried disjunctively, the expanded-only hits join the candidate
+    pool with their normalized scores multiplied by the 0.65 penalty."""
     import numpy as np
 
     from yams_spark.functions.textnorm import tokenize_lower
 
     terms = tokenize_lower(query_text)
     postings = build_posting_lists(docs, id_col, text_col)
-    lex = bm25_scores(postings, terms)
+    lex = bm25_scores(postings, terms, match_all=True)
     # FTS5 bm25 is negative-better; ours is positive-better → negate before
     # the reference's range normalization (lexical_scoring.cpp:18-43)
     lex = normalize_bm25(lex.withColumn("bm25", -F.col("bm25")))
+    if enable_lexical_expansion:
+        base_hits = lex.count()  # scalar — the reference counts the batch too
+        exp_terms = expansion_terms(terms)
+        if base_hits < expansion_min_hits and exp_terms:
+            penalty = min(max(expansion_penalty, 0.1), 1.0)
+            expanded = bm25_scores(postings, exp_terms, match_all=False)
+            expanded = normalize_bm25(expanded.withColumn("bm25", -F.col("bm25")))
+            expanded = (
+                expanded.join(lex.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("norm_score", F.col("norm_score") * F.lit(penalty))
+            )
+            lex = lex.unionByName(expanded)
     # rank only a bounded candidate pool (the reference pools max(8, 4·topK)
     # per component): orderBy().limit() is TakeOrderedAndProject, and the
     # rank window then runs over <= pool rows — one deliberate, bounded

@@ -61,14 +61,30 @@ def build_posting_lists(docs: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def bm25_scores(
-    postings: DataFrame, query_terms: list[str], k1: float = 1.2, b: float = 0.75
+    postings: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    match_all: bool = False,
 ) -> DataFrame:
-    """(doc_id, bm25) for the disjunctive query, from posting statistics."""
+    """(doc_id, bm25) from posting statistics. ``match_all=False`` is the
+    disjunctive (OR) query; ``match_all=True`` keeps only documents
+    containing every distinct query term — FTS5 MATCH's implicit-AND
+    semantics, the base mode of the reference's lexical pipeline."""
     stats = postings.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     tf = postings.where(F.col("term").isin(query_terms))
+    if match_all:
+        n_terms = len(set(query_terms))
+        full = (
+            tf.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .where(F.col("nt") == n_terms)
+            .select("doc_id")
+        )
+        tf = tf.join(full, "doc_id", "left_semi")
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (
         tf.join(df_, "term")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from yams_spark.functions.chunker import PAGE_CHUNKING, ChunkingConfig
 from yams_spark.operators.blocking import (
     DEFAULT_BLOCK_CAP,
+    DEFAULT_FAMILIES,
     blocks_stage,
     candidate_pairs_stage,
     salt_blocks,
@@ -54,6 +55,8 @@ class PipelineConfig:
     #: set, oversized components are split before the packed publish and a
     #: `cluster_split` lineage row records how many components fired.
     max_component_docs: int | None = None
+    #: blocking-key families (shared contract, operators/signatures.py)
+    families: tuple[str, ...] = DEFAULT_FAMILIES
     chunk_cfg: ChunkingConfig = field(default_factory=lambda: PAGE_CHUNKING)
     checkpoint_dir: str | None = None
     run_id: str = ""
@@ -121,31 +124,31 @@ def _partition_metrics(df: DataFrame, run_id: str, stage: str) -> DataFrame:
 
 
 def _score_histogram_metrics(scored: DataFrame, run_id: str) -> DataFrame:
-    """20-bin histogram of pair scores over [0,1] as a lineage row."""
-    binned = scored.withColumn(
-        "bin", F.least(F.floor(F.col("pair_score") * 20).cast("int"), F.lit(19))
-    )
-    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
-    hist = counts.groupBy().agg(
-        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c")).alias("m")
-    )
-    hist = hist.select(
-        F.array(*[F.coalesce(F.col("m").getItem(i), F.lit(0)) for i in range(20)]).alias(
-            "score_histogram"
+    """20-bin histogram of pair scores over [0,1] as a lineage row.
+
+    One job: the 20 bin counts are collected (tiny) and the row is built
+    driver-side — the total is the bin sum, not a second full count()
+    action over the scored table.
+    """
+    counts = (
+        scored.withColumn(
+            "bin", F.least(F.floor(F.col("pair_score") * 20).cast("int"), F.lit(19))
         )
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+        .collect()
     )
-    total = scored.count()
-    return hist.select(
-        F.lit(run_id).alias("run_id"),
-        F.lit("score").alias("stage"),
-        F.lit(-1).alias("partition_id"),
-        F.lit(None).cast("string").alias("block_id"),
-        F.lit(total).cast("long").alias("pair_count"),
-        F.col("score_histogram"),
-        F.lit(None).cast("long").alias("rows_in"),
-        F.lit(total).cast("long").alias("rows_out"),
-        F.current_timestamp().alias("watermark_ts"),
-    )
+    bins = {r["bin"]: r["c"] for r in counts}
+    hist = [int(bins.get(i, 0)) for i in range(20)]
+    total = sum(hist)
+    return scored.sparkSession.createDataFrame(
+        [(run_id, "score", -1, None, total, hist, None, total)],
+        (
+            "run_id string, stage string, partition_id int, block_id string, "
+            "pair_count long, score_histogram array<long>, rows_in long, "
+            "rows_out long"
+        ),
+    ).withColumn("watermark_ts", F.current_timestamp())
 
 
 def _append_metrics(cfg: PipelineConfig, metrics: DataFrame) -> None:
@@ -154,17 +157,39 @@ def _append_metrics(cfg: PipelineConfig, metrics: DataFrame) -> None:
     metrics.write.mode("append").parquet(os.path.join(cfg.checkpoint_dir, "metrics.parquet"))
 
 
+def _stage_timer():
+    """Env-gated per-stage wall-clock tracing (YAMS_TIMING=1): prints
+    'TIMING <stage> <sec>' lines for bench forensics; no-op otherwise."""
+    if os.environ.get("YAMS_TIMING") != "1":
+        return lambda _stage: None
+    state = {"t": time.time()}
+
+    def mark(stage: str) -> None:
+        now = time.time()
+        print(f"TIMING {stage} {now - state['t']:.2f}", flush=True)
+        state["t"] = now
+
+    return mark
+
+
 def run_pipeline(
     spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | None = None
 ) -> dict[str, DataFrame]:
     """Full ER pipeline. Returns every stage's DataFrame keyed by stage name."""
     cfg = cfg or PipelineConfig()
     out: dict[str, DataFrame] = {}
+    mark = _stage_timer()
 
     # A small-file input (one parquet split) would serialize the extraction
-    # UDF; at 100TB there are plenty of splits and this no-ops.
+    # UDF; at 100TB there are plenty of splits and this no-ops. File count
+    # is a free lower bound on scan parallelism — touching pages.rdd would
+    # force a deserialization plan node just to ask the same question.
     par = spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < par:
+    try:
+        n_splits = len(pages.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits < par:
         pages = pages.repartition(par * 2)
 
     # --- sign (extract + signatures; narrow, no shuffle) ---
@@ -179,12 +204,13 @@ def run_pipeline(
         signatures = _commit_stage(spark, cfg, "sign", signatures)
         _append_metrics(cfg, _partition_metrics(signatures, cfg.run_id, "sign"))
     out["signatures"] = signatures
+    mark("sign")
 
     # --- block (+salting report) ---
     if _stage_done(cfg, "block"):
         blocks = spark.read.parquet(_stage_path(cfg, "block"))
     else:
-        raw_blocks = blocks_stage(signatures)
+        raw_blocks = blocks_stage(signatures, cfg.families)
         blocks, oversize = salt_blocks(raw_blocks, cfg.block_cap)
         if cfg.checkpoint_dir is None:
             # the pair stage self-joins blocks; without a durable commit the
@@ -206,6 +232,7 @@ def run_pipeline(
             )
             _append_metrics(cfg, oversize_rows)
     out["blocks"] = blocks
+    mark("block")
 
     # --- pair ---
     if _stage_done(cfg, "pair"):
@@ -215,6 +242,7 @@ def run_pipeline(
         pairs = _commit_stage(spark, cfg, "pair", pairs)
         _append_metrics(cfg, _partition_metrics(pairs, cfg.run_id, "pair"))
     out["pairs"] = pairs
+    mark("pair")
 
     # --- score ---
     if _stage_done(cfg, "score"):
@@ -229,6 +257,7 @@ def run_pipeline(
         if cfg.checkpoint_dir is not None:
             _append_metrics(cfg, _score_histogram_metrics(scored, cfg.run_id))
     out["scored_pairs"] = scored
+    mark("score")
 
     # --- cluster + publish ---
     accepted = scored.where(F.col("accepted"))
@@ -267,6 +296,7 @@ def run_pipeline(
             _append_metrics(cfg, split_rows)
     out["clusters"] = clusters
     out["members"] = members
+    mark("cluster")
 
     if cfg.checkpoint_dir is not None:
         out["metrics"] = spark.read.parquet(
