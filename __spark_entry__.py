@@ -598,6 +598,100 @@ def q35_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side document chunking (document_chunker.h:19-27) through
+    the real 7-strategy operator — SLIDING_WINDOW (200 chars, 50 overlap)
+    chosen for the oracle because char windows are SQL-expressible; the
+    other 6 strategies are pytest-covered with exact-offset properties."""
+    _ship_package(spark)
+    from yams_spark.functions.doc_chunker import DocChunkingConfig, chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_hash"), "text"
+    )
+    cfg = DocChunkingConfig(strategy="sliding_window", target_chunk_size=200,
+                            overlap_size=50)
+    out = chunk_documents(d, cfg)
+    return out.select(
+        F.col("document_hash").cast("long").alias("doc_id"),
+        "chunk_index",
+        "start_offset",
+        "end_offset",
+        "token_count",
+        F.sha2(F.encode("content", "UTF-8"), 256).alias("chunk_sha"),
+    )
+
+
+def q37_relevance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEIR-style MRR@10 / nDCG@10 / MAP@10 (docs/benchmarks/index.md:52-66)
+    over a deterministic ranking (md5 order per query) and graded qrels."""
+    _ship_package(spark)
+    from yams_spark.operators.relevance import relevance_metrics
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    qs = spark.range(1, 4).select(F.col("id").alias("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    ranked = (
+        qs.crossJoin(d)
+        .withColumn("h", F.md5(F.concat_ws(":", "query_id", "doc_id")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = (
+        qs.crossJoin(d.where(F.col("doc_id") % 3 == 0))
+        .select(
+            "query_id", "doc_id",
+            F.when(F.col("doc_id") % 9 == 0, F.lit(2)).otherwise(F.lit(1)).alias("rel"),
+        )
+    )
+    out = relevance_metrics(ranked, qrels, k=10)
+    return out.select(
+        "query_id",
+        F.round("mrr", 6).cast("double").alias("mrr"),
+        F.round("ndcg", 6).cast("double").alias("ndcg"),
+        F.round("map", 6).cast("double").alias("map"),
+    )
+
+
+def q38_tag_metadata_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag + metadata fusion components (queryTags matchAny decay
+    1/(1+0.1·rank), search_engine.cpp:5510-5553; queryMetadata conjunctive
+    filters scored 1.0, :5556+) — the producers for the declared tag /
+    metadata fusion weights."""
+    _ship_package(spark)
+    from yams_spark.operators.components import metadata_component, tag_component
+
+    d = _t(spark, sf_dir, "documents")
+    doc_tags = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("lang:"), F.col("lang")),
+                F.concat(F.lit("src:"), F.col("source")),
+            )
+        ).alias("tag"),
+    )
+    tagc = tag_component(doc_tags, ["lang:de", "lang:fr"], match_all=False, limit=50)
+    doc_meta = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lang").alias("key"), F.col("lang").alias("value")),
+                F.struct(F.lit("source").alias("key"), F.col("source").alias("value")),
+            )
+        ).alias("kv"),
+    ).select("doc_id", "kv.key", "kv.value")
+    metac = metadata_component(doc_meta, {"lang": "en", "source": "src3"}, limit=50)
+    out = tagc.unionByName(metac)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -953,6 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_snippet": q33_snippet,
         "q34_path_tree_centroid": q34_path_tree_centroid,
         "q35_pagerank": q35_pagerank,
+        "q36_doc_chunking": q36_doc_chunking,
+        "q37_relevance_metrics": q37_relevance_metrics,
+        "q38_tag_metadata_components": q38_tag_metadata_components,
         "er_mini": er_mini,
         "er_clusters": er_clusters,
         "er_members": er_members,
@@ -1334,6 +1431,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(ROUND(rank, 8) AS DOUBLE) AS pagerank
             FROM r3
+        """,
+        "q36_doc_chunking": """
+            WITH d AS (
+                SELECT doc_id, text, length(text) AS n,
+                       CASE WHEN length(text) <= 200 THEN 1
+                            ELSE CAST(ceil((length(text) - 200) / 150.0) AS INTEGER) + 1
+                       END AS n_chunks
+                FROM documents),
+            c AS (
+                SELECT doc_id, text, n, CAST(k AS INTEGER) AS chunk_index,
+                       CAST(k * 150 AS BIGINT) AS start_offset
+                FROM d, unnest(range(0, n_chunks)) AS t(k)),
+            s AS (
+                SELECT doc_id, chunk_index, start_offset,
+                       LEAST(start_offset + 200, n) AS end_offset,
+                       substr(text, CAST(start_offset + 1 AS INTEGER), 200) AS content
+                FROM c)
+            SELECT doc_id, chunk_index, start_offset,
+                   CAST(end_offset AS BIGINT) AS end_offset,
+                   CAST(len(list_filter(string_split(content, ' '), x -> x <> ''))
+                        AS INTEGER) AS token_count,
+                   sha256(content) AS chunk_sha
+            FROM s
+        """,
+        "q37_relevance_metrics": """
+            WITH qs AS (SELECT UNNEST([1, 2, 3]) AS query_id),
+            ranked AS (
+                SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY md5(query_id || ':' || doc_id) ASC,
+                                    doc_id ASC) AS rank
+                FROM qs CROSS JOIN (SELECT doc_id FROM documents)),
+            r AS (SELECT * FROM ranked WHERE rank <= 10),
+            qrels AS (
+                SELECT query_id, doc_id,
+                       CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END AS rel
+                FROM qs CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)),
+            hits AS (
+                SELECT r.query_id, r.doc_id, r.rank, COALESCE(qrels.rel, 0) AS rel
+                FROM r LEFT JOIN qrels USING (query_id, doc_id)),
+            cum AS (
+                SELECT *, SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY query_id ORDER BY rank) AS cum_hits
+                FROM hits),
+            per AS (
+                SELECT query_id,
+                       MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                       SUM(CASE WHEN rel > 0
+                                THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0) END) AS dcg,
+                       SUM(CASE WHEN rel > 0
+                                THEN cum_hits * 1.0 / rank END) AS sum_prec
+                FROM cum GROUP BY query_id),
+            ideal AS (
+                SELECT query_id,
+                       SUM((pow(2.0, rel) - 1.0) / log2(irk + 1.0)) AS idcg
+                FROM (
+                    SELECT query_id, rel,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, doc_id ASC) AS irk
+                    FROM qrels) WHERE irk <= 10 GROUP BY query_id),
+            nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id)
+            SELECT per.query_id,
+                   CAST(ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS DOUBLE) AS mrr,
+                   CAST(ROUND(CASE WHEN ideal.idcg > 0
+                                   THEN COALESCE(per.dcg, 0.0) / ideal.idcg
+                                   ELSE 0.0 END, 6) AS DOUBLE) AS ndcg,
+                   CAST(ROUND(COALESCE(per.sum_prec, 0.0)
+                              / LEAST(nrel.n_rel, 10), 6) AS DOUBLE) AS map
+            FROM per LEFT JOIN ideal USING (query_id) LEFT JOIN nrel USING (query_id)
+        """,
+        "q38_tag_metadata_components": """
+            WITH tags AS (
+                SELECT doc_id, 'lang:' || lang AS tag FROM documents
+                UNION ALL SELECT doc_id, 'src:' || source FROM documents),
+            thits AS (
+                SELECT doc_id, COUNT(DISTINCT tag) AS n_matched
+                FROM tags WHERE tag IN ('lang:de', 'lang:fr') GROUP BY doc_id),
+            tranked AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY n_matched DESC, doc_id ASC) AS rk
+                FROM thits ORDER BY n_matched DESC, doc_id ASC LIMIT 50),
+            tagc AS (
+                SELECT doc_id, 'tag' AS source,
+                       1.0 / (1.0 + 0.1 * (rk - 1)) AS score, rk - 1 AS rank
+                FROM tranked),
+            meta AS (
+                SELECT doc_id, 'lang' AS key, lang AS value FROM documents
+                UNION ALL SELECT doc_id, 'source', source FROM documents),
+            mhits AS (
+                SELECT doc_id, COUNT(DISTINCT key) AS n_keys
+                FROM meta
+                WHERE (key = 'lang' AND value = 'en')
+                   OR (key = 'source' AND value = 'src3')
+                GROUP BY doc_id HAVING COUNT(DISTINCT key) = 2),
+            mranked AS (
+                SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rk
+                FROM mhits ORDER BY doc_id ASC LIMIT 50),
+            metac AS (
+                SELECT doc_id, 'metadata' AS source, 1.0 AS score, rk - 1 AS rank
+                FROM mranked)
+            SELECT doc_id, source, CAST(ROUND(score, 6) AS DOUBLE) AS score,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT * FROM tagc UNION ALL SELECT * FROM metac)
         """,
         "er_mini": """
             WITH pages AS (

@@ -127,3 +127,32 @@ def test_pagerank_matches_power_iteration(spark) -> None:
     for i in range(n):
         assert got[i] == pytest.approx(r[i], abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_relevance_metrics_hand_computed(spark) -> None:
+    import math
+
+    from yams_spark.operators.relevance import mean_relevance_metrics, relevance_metrics
+
+    results = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (1, "d", 4), (1, "e", 5),
+         (2, "x", 1), (2, "y", 2)],  # query 2: nothing relevant retrieved
+        "query_id long, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "b", 1), (1, "d", 2), (1, "z", 1),  # z never retrieved
+         (2, "q", 1)],
+        "query_id long, doc_id string, rel int",
+    )
+    got = {r["query_id"]: r for r in relevance_metrics(results, qrels, k=10).collect()}
+
+    assert got[1]["mrr"] == pytest.approx(0.5)
+    dcg = 1 / math.log2(3) + 3 / math.log2(5)
+    idcg = 3 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert got[1]["ndcg"] == pytest.approx(dcg / idcg)
+    assert got[1]["map"] == pytest.approx((1 / 2 + 2 / 4) / 3)
+    assert got[2]["mrr"] == 0.0 and got[2]["ndcg"] == 0.0 and got[2]["map"] == 0.0
+
+    mean = mean_relevance_metrics(results, qrels, k=10).collect()[0]
+    assert mean["n_queries"] == 2
+    assert mean["mrr"] == pytest.approx(0.25)

@@ -100,3 +100,39 @@ def test_lexical_or_retry_expansion(spark) -> None:
     assert expansion_terms(["alpha", "of", "alpha", "bravo"]) == ["alpha", "bravo"]
     assert expansion_terms(["ab", "xy"]) == []  # short tokens never expand
     assert len(expansion_terms([f"term{i}" for i in range(10)])) == 6
+
+
+def test_tag_metadata_components_in_hybrid(spark) -> None:
+    """Tag matchAll intersects (score 1.0); metadata filters are
+    conjunctive; both feed fuse_evidence through hybrid_search."""
+    from yams_spark.operators.components import metadata_component, tag_component
+
+    docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "alpha text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    doc_tags = spark.createDataFrame(
+        [(1, "red"), (1, "blue"), (2, "red"), (3, "blue")],
+        "doc_id long, tag string",
+    )
+    allhits = tag_component(doc_tags, ["red", "blue"], match_all=True).collect()
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in allhits] == [("1", 1.0, 0)]
+    anyhits = tag_component(doc_tags, ["red", "blue"], match_all=False).collect()
+    assert [r["doc_id"] for r in anyhits] == ["1", "2", "3"]  # 2 matches first
+    assert anyhits[1]["score"] == pytest.approx(1.0 / 1.1)
+
+    doc_meta = spark.createDataFrame(
+        [(1, "lang", "en"), (1, "src", "a"), (2, "lang", "en"), (2, "src", "b")],
+        "doc_id long, key string, value string",
+    )
+    m = metadata_component(doc_meta, {"lang": "en", "src": "a"}).collect()
+    assert [(r["doc_id"], r["score"]) for r in m] == [("1", 1.0)]
+
+    out = hybrid_search(
+        spark, docs, query_text="alpha", query_embedding=None,
+        embedding_df=None, limit=3,
+        doc_tags=doc_tags, query_tags=["red", "blue"], tags_match_all=True,
+        doc_metadata=doc_meta, metadata_filters={"lang": "en", "src": "a"},
+    ).collect()
+    # doc 1 carries tag + metadata evidence on top of lexical -> ranked first
+    assert out[0]["doc_id"] == "1"

@@ -99,6 +99,11 @@ def hybrid_search(
     enable_lexical_expansion: bool = True,
     expansion_min_hits: int = LEXICAL_EXPANSION_MIN_HITS,
     expansion_penalty: float = LEXICAL_EXPANSION_PENALTY,
+    doc_tags: DataFrame | None = None,
+    query_tags: list[str] | None = None,
+    tags_match_all: bool = True,
+    doc_metadata: DataFrame | None = None,
+    metadata_filters: dict[str, str] | None = None,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
@@ -161,6 +166,21 @@ def hybrid_search(
             (F.col("rk") - 1).alias("rank"),
         )
         components = components.unionByName(vec_comp)
+
+    # tag / metadata evidence (the declared fusion weights' producers,
+    # search_engine.cpp:5510+): optional, appended like any other source
+    if doc_tags is not None and query_tags:
+        from yams_spark.operators.components import tag_component
+
+        components = components.unionByName(
+            tag_component(doc_tags, query_tags, tags_match_all, limit=limit * 5)
+        )
+    if doc_metadata is not None and metadata_filters:
+        from yams_spark.operators.components import metadata_component
+
+        components = components.unionByName(
+            metadata_component(doc_metadata, metadata_filters, limit=limit * 5)
+        )
 
     fused = fuse_evidence(components, weights=weights)
     return topk_with_rescue(fused, limit=limit)
