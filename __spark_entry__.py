@@ -692,6 +692,36 @@ def q38_tag_metadata_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_sgc_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGC embedding smoothing (topology_sgc.cpp:23-181): 1 hop of
+    X <- D^-1/2 (A+I) D^-1/2 X over a deterministic chain graph on the
+    embeddings table, exploded to (node, pos, val) through the same
+    float32 storage round-trip as the reference."""
+    _ship_package(spark)
+    from yams_spark.operators.sgc import sgc_smooth
+
+    e = _t(spark, sf_dir, "embeddings")
+    ids = e.select("vec_id")
+    chain = (
+        e.select(
+            F.col("vec_id").alias("src"),
+            (F.col("vec_id") + 1).alias("dst"),
+            F.lit(0.5).alias("weight"),
+        )
+        .join(ids.select(F.col("vec_id").alias("dst")), "dst", "left_semi")
+    )
+    out = sgc_smooth(
+        e.select(F.col("vec_id").alias("node"), "embedding"), chain, hops=1
+    )
+    return out.select(
+        "node", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "node",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("val").cast("double"), 6).cast("double").alias("val"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -944,6 +974,25 @@ def er_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["clusters"].select("group_key", "canonical_url", "member_count")
 
 
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC compressed ANN (the reference's default vector engine,
+    vector_types.h:60-99; Jégou et al. 2011): train per-subspace codebooks
+    on a bounded sample, encode the corpus to m small codes, ADC LUT scan
+    + exact rerank for a fixed query. No DuckDB oracle (k-means training
+    is not SQL-expressible); pytest pins determinism + recall."""
+    _ship_package(spark)
+    from yams_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
+
+    e = _t(spark, sf_dir, "embeddings").orderBy("vec_id")
+    books = train_pq(e, m=16, k=16, train_limit=512, iters=5)
+    codes = pq_encode(e, books)
+    q = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"]
+    out = pq_adc_topk(codes, e, books, q, k=10, rerank_factor=2)
+    return out.select(
+        "vec_id", F.round("cosine", 6).cast("double").alias("cosine"), "rk"
+    )
+
+
 def er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule metric: pairwise P/R/F1 on labeled same-block pairs."""
     _ship_package(spark)
@@ -1050,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_doc_chunking": q36_doc_chunking,
         "q37_relevance_metrics": q37_relevance_metrics,
         "q38_tag_metadata_components": q38_tag_metadata_components,
+        "q39_sgc_smoothing": q39_sgc_smoothing,
+        "ann_pq_adc": ann_pq_adc,
         "er_mini": er_mini,
         "er_clusters": er_clusters,
         "er_members": er_members,
@@ -1534,6 +1585,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(ROUND(score, 6) AS DOUBLE) AS score,
                    CAST(rank AS INTEGER) AS rank
             FROM (SELECT * FROM tagc UNION ALL SELECT * FROM metac)
+        """,
+        "q39_sgc_smoothing": """
+            WITH ids AS (SELECT vec_id FROM embeddings),
+            e AS (
+                SELECT vec_id AS a, vec_id + 1 AS b, 0.5 AS w FROM embeddings
+                WHERE vec_id + 1 IN (SELECT vec_id FROM ids)),
+            sym AS (
+                SELECT a AS src, b AS dst, w FROM e
+                UNION ALL SELECT b, a, w FROM e),
+            deg AS (
+                SELECT ids.vec_id AS node,
+                       1.0 + COALESCE(SUM(sym.w), 0.0) AS degree
+                FROM ids LEFT JOIN sym ON sym.src = ids.vec_id
+                GROUP BY ids.vec_id),
+            inv AS (SELECT node, 1.0 / sqrt(degree) AS iv FROM deg),
+            adj AS (
+                SELECT src, dst, w * i1.iv * i2.iv AS scale
+                FROM sym JOIN inv i1 ON i1.node = src JOIN inv i2 ON i2.node = dst
+                UNION ALL SELECT node, node, iv * iv FROM inv),
+            dims AS (
+                SELECT vec_id AS node,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings),
+            hop AS (
+                SELECT adj.src AS node, dims.pos, SUM(adj.scale * dims.val) AS val
+                FROM adj JOIN dims ON dims.node = adj.dst
+                GROUP BY adj.src, dims.pos)
+            SELECT node, pos,
+                   CAST(ROUND(CAST(CAST(val AS FLOAT) AS DOUBLE), 6) AS DOUBLE) AS val
+            FROM hop
         """,
         "er_mini": """
             WITH pages AS (

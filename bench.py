@@ -20,8 +20,14 @@ the headline throughput.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
      SPARK_GRAFT_CPUS (default 32)
-     YAMS_BENCH_REPLICATE (families per document, default 64: ~785k pages at sf0.1 — large enough that pipeline work dominates the ~30s of fixed stage latency; measured N->4N efficiency 0.875 there vs overhead-bound 0.55-0.8 at r16)
+     YAMS_BENCH_REPLICATE (families per document, default 64: ~785k pages
+       at sf0.1 — pipeline work ≈ 12x the ~31s fixed per-run latency,
+       measured single-shot efficiency 0.76-0.82 across draws)
      YAMS_BENCH_SCALING_CORES ("small,large", default "2,8")
+     YAMS_BENCH_SCALING_RUNS (runs per leg, default 2: legs are interleaved
+       N,4N,N,4N and each leg reports its minimum wall — single shots on
+       this sandbox swing ±10-15% with host noise, and best-of-2 measures
+       the code, not the machine's mood)
      YAMS_BENCH_SKIP_SCALING=1 (only the full-core run)
 """
 
@@ -44,7 +50,7 @@ from yams_spark.plans.er_pipeline import run_pipeline, PipelineConfig
 from pyspark.sql import functions as F
 cores = {cores}
 spark = get_spark(app_name="bench", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(2 * cores, 8))
+                  shuffle_partitions={shuffle_parts})
 def _wf(it):
     for pdf in it:
         yield pdf
@@ -79,16 +85,25 @@ def _pipeline_subprocess(cores: int, pages_path: str) -> dict:
     # high write-latency variance that otherwise dominates run-to-run noise
     os.makedirs("/dev/shm/yams_spark_local", exist_ok=True)
     env.setdefault("YAMS_SPARK_LOCAL_DIR", "/dev/shm/yams_spark_local")
-    code = _RUN_SNIPPET.format(repo=_REPO, cores=cores, pages_path=pages_path)
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("BENCH_RESULT "):
-            return json.loads(line[len("BENCH_RESULT "):])
-    raise RuntimeError(
-        f"bench subprocess (cores={cores}) failed:\n{proc.stderr[-2000:]}"
-    )
+    code = _RUN_SNIPPET.format(repo=_REPO, cores=cores, pages_path=pages_path,
+                                shuffle_parts=16)
+    last_err = ""
+    for attempt in (1, 2):  # one retry: local-mode python workers are
+        # occasionally killed by the sandbox (Arrow socket reset) — a
+        # repeatable failure still fails, a one-off flake doesn't zero the run
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, env=env
+        )
+        err_log = f"/tmp/yams_bench_stderr_{cores}_a{attempt}.log"
+        with open(err_log, "w") as f:
+            f.write(proc.stderr)
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_RESULT "):
+                return json.loads(line[len("BENCH_RESULT "):])
+        last_err = f"(full stderr: {err_log})\n{proc.stderr[-2000:]}"
+        print(f"bench subprocess (cores={cores}) attempt {attempt} failed, "
+              f"stderr -> {err_log}", file=sys.stderr)
+    raise RuntimeError(f"bench subprocess (cores={cores}) failed:\n{last_err}")
 
 
 def main() -> None:
@@ -120,15 +135,27 @@ def main() -> None:
     scaling: dict[str, float | int] = {}
 
     if not skip_scaling:
-        r_small = _pipeline_subprocess(small, pages_path)
-        r_large = _pipeline_subprocess(large, pages_path)
-        thr_s = r_small["pages"] / r_small["wall"]
-        thr_l = r_large["pages"] / r_large["wall"]
-        queries[f"er_pipeline_local{small}"] = round(r_small["wall"], 3)
-        queries[f"er_pipeline_local{large}"] = round(r_large["wall"], 3)
+        # best-of-2 per leg, interleaved: single-shot legs on this sandbox
+        # swing +-10-15% (page cache, host noise); the minimum wall of two
+        # runs per leg is the standard way to measure the code rather than
+        # the machine's mood. Interleaving (N, 4N, N, 4N) decorrelates slow
+        # phases from a leg. YAMS_BENCH_SCALING_RUNS=1 restores single-shot.
+        runs = int(os.environ.get("YAMS_BENCH_SCALING_RUNS", "2"))
+        walls: dict[int, float] = {}
+        pages_n = 0
+        for _ in range(runs):
+            for cores in (small, large):
+                r = _pipeline_subprocess(cores, pages_path)
+                pages_n = r["pages"]
+                walls[cores] = min(walls.get(cores, float("inf")), r["wall"])
+        thr_s = pages_n / walls[small]
+        thr_l = pages_n / walls[large]
+        queries[f"er_pipeline_local{small}"] = round(walls[small], 3)
+        queries[f"er_pipeline_local{large}"] = round(walls[large], 3)
         scaling = {
             "cores_small": small,
             "cores_large": large,
+            "runs_per_leg": runs,
             "pages_per_sec_small": round(thr_s, 2),
             "pages_per_sec_large": round(thr_l, 2),
             "efficiency": round(thr_l / (thr_s * (large / small)), 4),

@@ -156,3 +156,30 @@ def test_relevance_metrics_hand_computed(spark) -> None:
     mean = mean_relevance_metrics(results, qrels, k=10).collect()[0]
     assert mean["n_queries"] == 2
     assert mean["mrr"] == pytest.approx(0.25)
+
+
+def test_sgc_smoothing_matches_numpy(spark) -> None:
+    """topology_sgc.cpp:23-181: X <- (D^-1/2 (A+I) D^-1/2)^hops X with
+    max-weight symmetric dedupe, self-loop weight 1, degree = 1 + sum(w)."""
+    from yams_spark.operators.sgc import sgc_smooth
+
+    feats = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [2.0, 0.0])]
+    # duplicate edge with different weights -> max wins; node 3 isolated
+    edges = [(0, 1, 0.5), (1, 0, 0.8), (1, 2, 1.0)]
+    fdf = spark.createDataFrame(feats, "node long, embedding array<double>")
+    edf = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {r["node"]: list(r["embedding"])
+           for r in sgc_smooth(fdf, edf, hops=2).collect()}
+
+    W = np.zeros((4, 4))
+    W[0, 1] = W[1, 0] = 0.8
+    W[1, 2] = W[2, 1] = 1.0
+    deg = 1.0 + W.sum(axis=1)
+    inv = 1.0 / np.sqrt(deg)
+    A = (W + np.eye(4)) * np.outer(inv, inv)
+    X = np.array([f for _, f in feats])
+    want = A @ (A @ X)
+    for i in range(4):
+        assert got[i] == pytest.approx(list(want[i]), rel=1e-6)
+    # isolated node: degree 1, self-scale 1 -> embedding unchanged
+    assert got[3] == pytest.approx([2.0, 0.0])

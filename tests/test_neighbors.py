@@ -136,3 +136,43 @@ def test_tag_metadata_components_in_hybrid(spark) -> None:
     ).collect()
     # doc 1 carries tag + metadata evidence on top of lexical -> ranked first
     assert out[0]["doc_id"] == "1"
+
+
+def test_cross_rerank_wiring(spark) -> None:
+    """rerank_scores_overlap = query<->doc token-set Jaccard; hybrid with
+    enable_cross_rerank returns the same doc set, head reordered by the
+    blend (never displaced), tail order preserved."""
+    from yams_spark.operators.search import rerank_scores_overlap
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta filler{i} " + "pad " * i) for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    head = spark.createDataFrame(
+        [("1", 0.9), ("2", 0.8)], "doc_id string, fused_score double"
+    )
+    scored = {
+        r["doc_id"]: r["rerank_score"]
+        for r in rerank_scores_overlap(
+            head,
+            docs.select(F.col("doc_id"), F.col("text")),
+            "alpha beta",
+        ).collect()
+    }
+    # doc 1 tokens: {alpha, beta, filler1, pad}; query {alpha, beta} -> 2/4
+    assert scored["1"] == pytest.approx(0.5)
+    assert scored["2"] == pytest.approx(0.5)  # {alpha,beta,filler2,pad}
+
+    base = hybrid_search(spark, docs, "alpha beta", None, limit=6).collect()
+    rer = hybrid_search(
+        spark, docs, "alpha beta", None, limit=6, enable_cross_rerank=True,
+        rerank_top_n=3,
+    ).collect()
+    assert {r["doc_id"] for r in base} == {r["doc_id"] for r in rer}
+    assert [r["final_rank"] for r in rer] == [1, 2, 3, 4, 5, 6]
+    # head set preserved (reordering allowed), tail order identical
+    assert {r["doc_id"] for r in rer[:3]} == {r["doc_id"] for r in base[:3]}
+    assert [r["doc_id"] for r in rer[3:]] == [r["doc_id"] for r in base[3:]]
+    # blended head rows carry a blended_score; tail rows don't
+    assert all(r["blended_score"] is not None for r in rer[:3])
+    assert all(r["blended_score"] is None for r in rer[3:])

@@ -104,6 +104,9 @@ def hybrid_search(
     tags_match_all: bool = True,
     doc_metadata: DataFrame | None = None,
     metadata_filters: dict[str, str] | None = None,
+    enable_cross_rerank: bool = False,
+    rerank_top_n: int = 5,
+    rerank_alpha: float = 0.30,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
@@ -183,4 +186,31 @@ def hybrid_search(
         )
 
     fused = fuse_evidence(components, weights=weights)
-    return topk_with_rescue(fused, limit=limit)
+    head = topk_with_rescue(fused, limit=limit)
+    if not enable_cross_rerank:
+        return head
+
+    # cross-rerank blend of the top-N (cross_rerank.cpp:60-160): rerank
+    # scores from the deterministic overlap scorer, min-max blend
+    # alpha·rerank + (1-alpha)·original; ranks below top-N keep their order
+    from yams_spark.operators.search import cross_rerank_blend, rerank_scores_overlap
+
+    order = [F.col("fused_score").desc(), F.col("doc_id").asc()]
+    top_n = head.orderBy(*order).limit(rerank_top_n)
+    rest = head.join(top_n.select("doc_id"), "doc_id", "left_anti")
+    scored = rerank_scores_overlap(top_n, docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ), query_text, id_col="doc_id", text_col="text")
+    blended = cross_rerank_blend(scored, alpha=rerank_alpha)
+    # the blend reorders only the head; tail keeps its fused order after it
+    b_ranked = global_rank(
+        blended.select("doc_id", "fused_score", "blended_score"),
+        [F.col("blended_score").desc(), F.col("doc_id").asc()],
+        "final_rank",
+    )
+    r_ranked = global_rank(rest, order, "__r").select(
+        "doc_id", "fused_score",
+        F.lit(None).cast("double").alias("blended_score"),
+        (F.col("__r") + rerank_top_n).alias("final_rank"),
+    )
+    return b_ranked.unionByName(r_ranked).orderBy("final_rank")

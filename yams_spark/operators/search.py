@@ -284,6 +284,43 @@ def topk_with_rescue(
     return head
 
 
+def rerank_scores_overlap(
+    head: DataFrame,
+    docs: DataFrame,
+    query_text: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "rerank_score",
+) -> DataFrame:
+    """Deterministic cross-encoder stand-in feeding ``cross_rerank_blend``
+    (the reference reranks its top-5 with an ONNX cross-encoder,
+    cross_rerank.cpp:60-160; model inference is out of scope here, so the
+    scorer is query↔document token-set Jaccard — same stand-in policy as
+    the feature-hash embedding). Pure Catalyst: tokenize both sides,
+    array_intersect/array_union sizes; head is already tiny (top-5), so the
+    join broadcasts."""
+    from yams_spark.functions.textnorm import tokenize_lower
+
+    q_tokens = sorted(set(tokenize_lower(query_text)))
+    q_arr = F.array(*[F.lit(t) for t in q_tokens]) if q_tokens else F.array()
+    toks = F.expr(
+        f"array_distinct(filter(split(lower(regexp_replace({text_col}, "
+        "'[^0-9a-zA-Z]+', ' ')), ' '), x -> x <> ''))"
+    )
+    scored = head.join(
+        docs.select(F.col(id_col).cast("string").alias(id_col), toks.alias("__t")),
+        id_col,
+    )
+    inter = F.size(F.array_intersect(F.col("__t"), q_arr))
+    union = F.size(F.array_union(F.col("__t"), q_arr))
+    return scored.withColumn(
+        out_col,
+        F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+    ).drop("__t")
+
+
 def cross_rerank_blend(
     head: DataFrame,
     rerank_col: str = "rerank_score",
