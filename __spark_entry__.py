@@ -939,6 +939,43 @@ def q30_metadata_kv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.groupBy("key", "value").agg(F.count("*").alias("n"))
 
 
+_ER_MINI_CACHE: dict[str, dict[str, DataFrame]] = {}
+
+
+def _er_mini_outputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The er_mini pipeline run (see er_mini docstring), cached per sf."""
+    key = os.path.normpath(sf_dir)
+    if key not in _ER_MINI_CACHE:
+        _ship_package(spark)
+        from yams_spark.plans.er_pipeline import PipelineConfig, run_pipeline
+
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id") * 60
+            ).alias("warc_ts"),
+            F.encode("text", "UTF-8").alias("html"),
+            F.col("text"),
+            F.lit("en").alias("lang"),
+        )
+        dups = docs.where(F.col("doc_id") % 5 == 0).select(
+            F.concat(F.lit("dup://"), F.col("doc_id")).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id") * 60 + F.lit(30)
+            ).alias("warc_ts"),
+            F.encode("text", "UTF-8").alias("html"),
+            F.col("text"),
+            F.lit("en").alias("lang"),
+        )
+        pages = base.unionByName(dups)
+        out = run_pipeline(spark, pages, PipelineConfig(families=("exact",)))
+        out["clusters"] = out["clusters"].persist()
+        out["members"] = out["members"].persist()
+        _ER_MINI_CACHE[key] = out
+    return _ER_MINI_CACHE[key]
+
+
 def er_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A DuckDB-hash-verifiable slice of the REAL ER pipeline: the full
     sign→block→pair→score→cluster DAG runs with exact-family blocking only
@@ -949,29 +986,29 @@ def er_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     'group identical texts, ≥2 members, canonical = newest (ts desc, url
     asc), group_key = semantic:keep-newest:0.920: + sorted hashes' — all
     of which DuckDB can state in plain SQL (dedupe.cpp:217-350 semantics)."""
-    _ship_package(spark)
-    from yams_spark.plans.er_pipeline import PipelineConfig, run_pipeline
-
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60).alias("warc_ts"),
-        F.encode("text", "UTF-8").alias("html"),
-        F.col("text"),
-        F.lit("en").alias("lang"),
-    )
-    dups = docs.where(F.col("doc_id") % 5 == 0).select(
-        F.concat(F.lit("dup://"), F.col("doc_id")).alias("url"),
-        F.timestamp_seconds(
-            F.lit(1704067200) + F.col("doc_id") * 60 + F.lit(30)
-        ).alias("warc_ts"),
-        F.encode("text", "UTF-8").alias("html"),
-        F.col("text"),
-        F.lit("en").alias("lang"),
-    )
-    pages = base.unionByName(dups)
-    out = run_pipeline(spark, pages, PipelineConfig(families=("exact",)))
+    out = _er_mini_outputs(spark, sf_dir)
     return out["clusters"].select("group_key", "canonical_url", "member_count")
+
+
+def er_mini_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-level ER publication under the same SQL oracle: roles,
+    similarity_to_canonical (identical texts ⇒ cosine exactly 1.0 after
+    the float32 gate truncation), title_overlap (plain-text pages have no
+    <title> ⇒ 0.0) and path_overlap/pair_score (url token Jaccard over
+    {prefix, doc_id} token sets — closed-form in SQL). Verifies the
+    direct-canonical pair metrics of dedupe.cpp:324-337 end-to-end."""
+    out = _er_mini_outputs(spark, sf_dir)
+    return out["members"].select(
+        "group_key",
+        "url",
+        "role",
+        F.round("similarity_to_canonical", 6).cast("double").alias(
+            "similarity_to_canonical"
+        ),
+        F.round("title_overlap", 6).cast("double").alias("title_overlap"),
+        F.round("path_overlap", 6).cast("double").alias("path_overlap"),
+        F.round("pair_score", 6).cast("double").alias("pair_score"),
+    )
 
 
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_sgc_smoothing": q39_sgc_smoothing,
         "ann_pq_adc": ann_pq_adc,
         "er_mini": er_mini,
+        "er_mini_members": er_mini_members,
         "er_clusters": er_clusters,
         "er_members": er_members,
         "er_scored_pairs": er_scored_pairs,
@@ -1635,6 +1673,49 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rk = 1 THEN url END) AS canonical_url,
                    COUNT(*) AS member_count
             FROM m GROUP BY text
+        """,
+        "er_mini_members": """
+            WITH pages AS (
+                SELECT 'doc://' || doc_id AS url, doc_id * 60 AS ts, text
+                FROM documents
+                UNION ALL
+                SELECT 'dup://' || doc_id, doc_id * 60 + 30, text
+                FROM documents WHERE doc_id % 5 = 0),
+            g AS (SELECT text FROM pages GROUP BY text HAVING COUNT(*) >= 2),
+            m AS (
+                SELECT p.url, p.ts, p.text, sha256(p.text) AS doc_hash,
+                       ROW_NUMBER() OVER (PARTITION BY p.text
+                           ORDER BY p.ts DESC, p.url ASC) AS rk
+                FROM pages p JOIN g USING (text)),
+            grp AS (
+                SELECT text,
+                       'semantic:keep-newest:0.920:'
+                           || string_agg(doc_hash, ',' ORDER BY doc_hash) AS group_key,
+                       MIN(CASE WHEN rk = 1 THEN url END) AS canonical_url
+                FROM m GROUP BY text),
+            mm AS (
+                SELECT m.url, grp.group_key, grp.canonical_url,
+                       (CASE WHEN substr(m.url, 1, 3) = substr(grp.canonical_url, 1, 3)
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN regexp_extract(m.url, '[0-9]+')
+                               = regexp_extract(grp.canonical_url, '[0-9]+')
+                             THEN 1 ELSE 0 END) AS inter
+                FROM m JOIN grp USING (text))
+            SELECT group_key, url,
+                   CASE WHEN url = canonical_url THEN 'canonical'
+                        ELSE 'duplicate' END AS role,
+                   CASE WHEN url = canonical_url THEN NULL
+                        ELSE CAST(1.0 AS DOUBLE) END AS similarity_to_canonical,
+                   CASE WHEN url = canonical_url THEN NULL
+                        ELSE CAST(0.0 AS DOUBLE) END AS title_overlap,
+                   CASE WHEN url = canonical_url THEN NULL
+                        ELSE CAST(ROUND(inter / (4.0 - inter), 6) AS DOUBLE)
+                        END AS path_overlap,
+                   CASE WHEN url = canonical_url THEN NULL
+                        ELSE CAST(ROUND(0.8 * 1.0 + 0.15 * 0.0
+                                        + 0.05 * (inter / (4.0 - inter)), 6)
+                             AS DOUBLE) END AS pair_score
+            FROM mm
         """,
         "q32_grep_scan": """
             SELECT doc_id,

@@ -220,20 +220,31 @@ def test_multimodal_features_and_plan(spark) -> None:
     rows = feats.collect()
     assert len(rows) == 24
     for r in rows:
-        assert len(r["feature"]) == multimodal.FEATURE_DIM
-        assert r["payload_sha256"] == hashlib.sha256(
-            bytes(media.where(F.col("media_id") == r["media_id"]).collect()[0]["payload"])
-        ).hexdigest()
-        break  # one hash check is enough (collect above is per-row expensive)
+        if r["kind"] == "image":  # REAL PPM decode: 3*(2+8) features
+            assert r["decoded"] and len(r["feature"]) == 30
+        elif r["kind"] == "audio":  # REAL WAV decode: 3+8 features
+            assert r["decoded"] and len(r["feature"]) == 11
+        else:  # video: codec genuinely absent -> deterministic fake
+            assert not r["decoded"] and len(r["feature"]) == multimodal.FEATURE_DIM
+    r0 = rows[0]
+    assert r0["payload_sha256"] == hashlib.sha256(
+        bytes(media.where(F.col("media_id") == r0["media_id"]).collect()[0]["payload"])
+    ).hexdigest()
     plan = multimodal.frame_sample_plan(media, every_ms=500)
     assert plan.where(F.col("frame_ts_ms") % 500 != 0).count() == 0
     assert plan.groupBy("media_id").count().count() == media.where("kind = 'video'").count()
 
 
-def test_multimodal_strict_raises(spark) -> None:
-    media = multimodal.synth_media_table(spark, n=3)
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_media_features(media, strict=True)
+def test_multimodal_strict_raises_for_undecodable_only(spark) -> None:
+    media = multimodal.synth_media_table(spark, n=6)
+    # image + audio rows decode for real even in strict mode
+    ok = multimodal.extract_media_features(
+        media.where("kind <> 'video'"), strict=True
+    )
+    assert ok.where("NOT decoded").count() == 0
+    # a video row has no codec here: strict raises inside the UDF
+    with pytest.raises(Exception, match="no decoder for mime"):
+        multimodal.extract_media_features(media, strict=True).collect()
 
 
 def test_blocking_contract_shared_between_pipeline_and_oracle(spark) -> None:
@@ -321,3 +332,38 @@ def test_ann_scale_gate_and_bucketed_recall(spark) -> None:
     # threshold filter applies post-rounding
     thr = near_dup_pairs_bucketed(corpus, threshold=0.99)
     assert thr.where("cosine < 0.99").count() == 0
+
+
+def test_media_codecs_roundtrip() -> None:
+    """PPM/PGM and WAV codecs are real: encode -> decode is byte-exact,
+    resize/index math is checked, features respond to signal content."""
+    import numpy as np
+
+    from yams_spark.functions import media_codecs as mc
+
+    img = (np.arange(6 * 4 * 3) % 256).astype(np.uint8).reshape(6, 4, 3)
+    assert np.array_equal(mc.decode_pnm(mc.encode_ppm(img)), img)
+    gray = (np.arange(5 * 7) % 256).astype(np.uint8).reshape(5, 7)
+    assert np.array_equal(mc.decode_pnm(mc.encode_ppm(gray)), gray)
+    # header with comment + multi-whitespace still parses
+    wonky = b"P6\n# a comment\n 4\t6\n255\n" + img.tobytes()
+    assert np.array_equal(mc.decode_pnm(wonky), img)
+
+    small = mc.resize_nearest(img, 2, 3)
+    assert small.shape == (3, 2, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+
+    feats = mc.image_features(img)
+    assert feats.shape == (30,) and abs(feats[2:10].sum() - 1.0) < 1e-6
+
+    t = np.arange(8000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = mc.decode_wav(mc.encode_wav(tone, rate=8000))
+    assert rate == 8000 and len(samples) == 8000
+    assert np.abs(samples - tone).max() < 1e-3  # PCM16 quantization only
+    af = mc.audio_features(samples, rate)
+    # 440 Hz of a 0..4000 Hz spectrum in 8 bands -> band 0 dominates
+    assert af.shape == (11,)
+    assert af[3] > 0.9  # band energy concentrated where the tone is
+    assert abs(af[0] - 0.5 / np.sqrt(2)) < 1e-3  # RMS of a sine
+    assert abs(af[2] - 1.0) < 1e-6  # duration 1 s

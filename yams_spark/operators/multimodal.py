@@ -1,14 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-Images/audio/video ride as ``binary`` columns with a metadata struct; the
+Images/audio/video ride as ``binary`` columns with a metadata struct. The
 Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested, while the actual codec work is stubbed —
-the decode libraries aren't available in this environment, so each
-extractor either raises ``NotImplementedError`` (strict mode) or produces
-a deterministic fake feature (test mode). This mirrors the reference's
-plugin extractor boundary (src/extraction/external_plugin_extractor.cpp):
-the engine defines the dataflow, the codec is a pluggable worker-side
-function.
+signatures) is real and tested, and the decode step is REAL for the
+formats a dependency-free environment can decode — netpbm PPM/PGM images
+and PCM16 WAV audio (``functions/media_codecs``: header parse, pixel /
+sample decode, resize, histogram / FFT features, all numpy+stdlib).
+Formats whose codecs genuinely don't exist here (jpeg/png/mp4) either
+raise ``NotImplementedError`` (strict mode) or produce a deterministic
+fake feature (test mode). This mirrors the reference's plugin extractor
+boundary (src/extraction/external_plugin_extractor.cpp): the engine
+defines the dataflow, the codec is a pluggable worker-side function.
 """
 
 from __future__ import annotations
@@ -46,39 +48,59 @@ def extract_media_features(
     strict: bool = False,
     dim: int = FEATURE_DIM,
 ) -> DataFrame:
-    """(media_id, kind, feature array<float>, payload_sha256, n_bytes) via
-    one Arrow-batched mapInPandas pass. ``decode_fn(payload: bytes) ->
-    np.ndarray`` plugs in the real decoder."""
-    if strict and decode_fn is None:
-        raise NotImplementedError(
-            "no media decoder available in this environment; pass decode_fn"
-        )
-    fn = decode_fn or _fake_decode_features
+    """(media_id, kind, mime, decoded boolean, feature array<float>,
+    payload_sha256, n_bytes) via one Arrow-batched mapInPandas pass.
+
+    Per row: a REAL decoder is used when one exists for the mime
+    (PPM/PGM, PCM16 WAV — media_codecs.decode_features), else
+    ``decode_fn`` if given, else strict-raise / deterministic fake.
+    ``decoded`` records which path ran."""
 
     def compute(iterator):
+        from yams_spark.functions.media_codecs import decode_features
+
         for pdf in iterator:
             rows = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+            for mid, kind, payload, mime in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["mime"]
+            ):
                 data = bytes(payload) if payload is not None else b""
+                feat = None
+                decoded = False
+                if data:
+                    real = decode_features(data, mime or "")
+                    if real is not None:
+                        feat, decoded = real.tolist(), True
+                    elif decode_fn is not None:
+                        feat, decoded = decode_fn(data).tolist(), True
+                    elif strict:
+                        raise NotImplementedError(
+                            f"no decoder for mime {mime!r} in this environment; "
+                            "pass decode_fn"
+                        )
+                    else:
+                        feat = _fake_decode_features(data, dim).tolist()
+                else:
+                    feat = [0.0] * dim
                 rows.append(
                     (
-                        mid,
-                        kind,
-                        fn(data).tolist() if len(data) else [0.0] * dim,
-                        hashlib.sha256(data).hexdigest(),
-                        len(data),
+                        mid, kind, mime, decoded, feat,
+                        hashlib.sha256(data).hexdigest(), len(data),
                     )
                 )
             if rows:
                 yield pd.DataFrame(
                     rows,
-                    columns=["media_id", "kind", "feature", "payload_sha256", "n_bytes"],
+                    columns=[
+                        "media_id", "kind", "mime", "decoded", "feature",
+                        "payload_sha256", "n_bytes",
+                    ],
                 )
 
     return media.mapInPandas(
         compute,
-        schema="media_id string, kind string, feature array<float>, "
-        "payload_sha256 string, n_bytes long",
+        schema="media_id string, kind string, mime string, decoded boolean, "
+        "feature array<float>, payload_sha256 string, n_bytes long",
     )
 
 
@@ -95,21 +117,33 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media_table(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests (binary payload +
-    typed metadata, no external data)."""
+    """Deterministic synthetic media table for tests: REAL decodable
+    payloads (PPM images, PCM16 WAV audio) plus opaque video bytes —
+    binary payload + typed metadata, no external data."""
+    from yams_spark.functions.media_codecs import encode_ppm, encode_wav
+
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.blake2b(f"media{i}".encode(), digest_size=16).digest() * (
-            4 + i % 5
-        )
-        rows.append(
-            (
-                f"m{i:04d}", kind, payload,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i if kind == "image" else None,
-                64 + i if kind == "image" else None,
-                (i + 1) * 750 if kind == "video" else None,
+        if kind == "image":
+            w = h = 8 + i % 5
+            img = (np.arange(h * w * 3, dtype=np.int64) * (i + 3) % 256).astype(
+                np.uint8
+            ).reshape(h, w, 3)
+            payload, mime = encode_ppm(img), "image/x-portable-pixmap"
+            width = height = w
+            duration = None
+        elif kind == "audio":
+            t = np.arange(800) / 8000.0
+            payload = encode_wav(
+                0.5 * np.sin(2 * np.pi * (200 + 40 * i) * t), rate=8000
             )
-        )
+            mime, width, height, duration = "audio/wav", None, None, None
+        else:
+            payload = hashlib.blake2b(
+                f"media{i}".encode(), digest_size=16
+            ).digest() * (4 + i % 5)
+            mime, width, height = "video/mp4", None, None
+            duration = (i + 1) * 750
+        rows.append((f"m{i:04d}", kind, payload, mime, width, height, duration))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
