@@ -722,6 +722,29 @@ def q39_sgc_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_hotzone_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotzone decayed interest scores (hotzone_manager.cpp:18-61) through
+    the real batch operator; the oracle states the fold in closed form —
+    score = Σ w_i · 0.5^(minutes-after-i / half-life-minutes) with
+    per-step minute truncation, boost = soft saturation."""
+    _ship_package(spark)
+    from yams_spark.streaming.hotzone import hotzone_batch
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value") > 0)
+        .groupBy(F.col("user_id").cast("string").alias("key"), "ts")
+        .agg(F.max("value").alias("weight"))
+    )
+    out = hotzone_batch(ev, key_col="key", ts_col="ts", weight_col="weight")
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        F.round("score", 6).cast("double").alias("score"),
+        F.round("boost", 6).cast("double").alias("boost"),
+        "last_ts",
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1030,6 +1053,28 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + featurize over the deterministic synthetic media
+    table: REAL codecs for PPM images (pixel decode, channel stats +
+    histograms) and PCM16 WAV (sample decode, RMS/ZCR/FFT bands) — only
+    formats with no codec in this container (mp4) use the documented
+    deterministic stand-in. No DuckDB oracle (binary codecs aren't SQL);
+    pytest pins byte-exact encode/decode round-trips and signal-content
+    features."""
+    _ship_package(spark)
+    from yams_spark.operators.multimodal import extract_media_features, synth_media_table
+
+    media = synth_media_table(spark, n=48)
+    out = extract_media_features(media)
+    return out.select(
+        "media_id", "kind", "decoded",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 5)
+        .cast("double").alias("feature_sum"),
+        "payload_sha256", "n_bytes",
+    )
+
+
 def er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule metric: pairwise P/R/F1 on labeled same-block pairs."""
     _ship_package(spark)
@@ -1137,7 +1182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_relevance_metrics": q37_relevance_metrics,
         "q38_tag_metadata_components": q38_tag_metadata_components,
         "q39_sgc_smoothing": q39_sgc_smoothing,
+        "q40_hotzone_decay": q40_hotzone_decay,
         "ann_pq_adc": ann_pq_adc,
+        "media_features": media_features,
         "er_mini": er_mini,
         "er_mini_members": er_mini_members,
         "er_clusters": er_clusters,
@@ -1673,6 +1720,35 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rk = 1 THEN url END) AS canonical_url,
                    COUNT(*) AS member_count
             FROM m GROUP BY text
+        """,
+        "q40_hotzone_decay": """
+            WITH e AS (
+                SELECT user_id AS key, ts, MAX(value) AS w
+                FROM events WHERE value > 0 GROUP BY user_id, ts),
+            steps AS (
+                SELECT key, ts, w,
+                       GREATEST(CAST(floor(epoch(ts - lag(ts) OVER
+                           (PARTITION BY key ORDER BY ts)) / 60.0) AS BIGINT),
+                           0) AS step_min
+                FROM e),
+            aftr AS (
+                SELECT key, ts, w,
+                       COALESCE(SUM(step_min) OVER (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                           0) AS after_min
+                FROM steps),
+            agg AS (
+                SELECT key,
+                       SUM(w * pow(0.5, after_min / 1440.0)) AS score,
+                       MAX(ts) AS last_ts
+                FROM aftr GROUP BY key)
+            SELECT key, CAST(ROUND(score, 6) AS DOUBLE) AS score,
+                   CAST(ROUND(LEAST(GREATEST(
+                       1.0 + 1.0 * LEAST(GREATEST(
+                           (1.0 - exp(-score)) / (1.0 - exp(-1.0)), 0.0), 1.0),
+                       1.0), 2.0), 6) AS DOUBLE) AS boost,
+                   last_ts
+            FROM agg
         """,
         "er_mini_members": """
             WITH pages AS (

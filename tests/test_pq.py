@@ -63,3 +63,31 @@ def test_adc_topk_recall_with_rerank(spark, clustered_corpus) -> None:
     # exact rerank: cosines ordered desc
     cosines = [r["cosine"] for r in out]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_probe_recall_and_exact_degenerate(spark, clustered_corpus) -> None:
+    """IVF: nprobe=1 recalls the query's own cluster; nprobe=n_lists equals
+    exact brute-force top-k."""
+    from yams_spark.operators.ann import cosine_topk
+    from yams_spark.operators.ivf import ivf_assign, ivf_topk, train_ivf
+
+    corpus, rows = clustered_corpus
+    corpus = corpus.orderBy("vec_id")
+    cent = train_ivf(corpus, n_lists=10, train_limit=50, iters=8)
+    assigned = ivf_assign(corpus, cent).persist()
+    # every vector lands in exactly one list; families stay together for
+    # well-separated clusters
+    assert assigned.count() == 50
+
+    q = rows[0][1]
+    near = ivf_topk(assigned, cent, q, k=5, nprobe=1).collect()
+    got = {r["vec_id"] for r in near}
+    assert {0, 1, 2, 3, 4} == got  # family 0 recalled from one probe
+
+    full = ivf_topk(assigned, cent, q, k=8, nprobe=len(cent)).collect()
+    queries_df = spark.createDataFrame(
+        [(9999, [float(x) for x in q])], "query_id long, embedding array<float>"
+    )
+    exact = cosine_topk(spark, corpus, queries_df, k=8).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    assert [r["cosine"] for r in full] == [r["cosine"] for r in exact]
