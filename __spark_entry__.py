@@ -695,8 +695,9 @@ def q38_tag_metadata_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q39_sgc_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SGC embedding smoothing (topology_sgc.cpp:23-181): 1 hop of
     X <- D^-1/2 (A+I) D^-1/2 X over a deterministic chain graph on the
-    embeddings table, exploded to (node, pos, val) through the same
-    float32 storage round-trip as the reference."""
+    embeddings table, exploded to (node, pos, val). Compared in float64
+    (cast_float32=False): near-zero dims otherwise flip a float32 rounding
+    boundary under each engine's summation order."""
     _ship_package(spark)
     from yams_spark.operators.sgc import sgc_smooth
 
@@ -711,14 +712,15 @@ def q39_sgc_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("vec_id").alias("dst")), "dst", "left_semi")
     )
     out = sgc_smooth(
-        e.select(F.col("vec_id").alias("node"), "embedding"), chain, hops=1
+        e.select(F.col("vec_id").alias("node"), "embedding"), chain, hops=1,
+        cast_float32=False,
     )
     return out.select(
         "node", F.posexplode("embedding").alias("pos", "val")
     ).select(
         "node",
         F.col("pos").cast("int").alias("pos"),
-        F.round(F.col("val").cast("double"), 6).cast("double").alias("val"),
+        F.round(F.col("val"), 6).cast("double").alias("val"),
     )
 
 
@@ -742,6 +744,48 @@ def q40_hotzone_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).cast("double").alias("score"),
         F.round("boost", 6).cast("double").alias("boost"),
         "last_ts",
+    )
+
+
+def q41_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup (training-data op): candidates = pairs
+    sharing >=1 of the 4 k-min sketch hashes (the q26 fingerprint as a
+    blocker), verified by exact 3-gram shingle-set Jaccard >= 0.5 — the
+    sketch-block -> exact-verify cascade every token-level dedup uses at
+    scale (all-pairs Jaccard is quadratic; the k-min block is not)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(_TOKENIZE_SPARK.format(col="text"))
+    ).where(F.size("t") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', "
+                "element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+            )
+        ).alias("sh"),
+    )
+    mins = sh.select(
+        "doc_id", "sh",
+        F.explode(
+            F.slice(F.array_sort(F.expr("transform(sh, s -> md5(s))")), 1, 4)
+        ).alias("mh"),
+    )
+    left = mins.select("mh", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = mins.select("mh", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        left.join(right, "mh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jac", inter.cast("double") / union.cast("double"))
+        .where(F.col("jac") >= 0.5)
+        .select(
+            "id_a", "id_b", F.round("jac", 6).cast("double").alias("jaccard")
+        )
     )
 
 
@@ -1183,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_tag_metadata_components": q38_tag_metadata_components,
         "q39_sgc_smoothing": q39_sgc_smoothing,
         "q40_hotzone_decay": q40_hotzone_decay,
+        "q41_ngram_jaccard_dedup": q41_ngram_jaccard_dedup,
         "ann_pq_adc": ann_pq_adc,
         "media_features": media_features,
         "er_mini": er_mini,
@@ -1698,8 +1743,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT adj.src AS node, dims.pos, SUM(adj.scale * dims.val) AS val
                 FROM adj JOIN dims ON dims.node = adj.dst
                 GROUP BY adj.src, dims.pos)
-            SELECT node, pos,
-                   CAST(ROUND(CAST(CAST(val AS FLOAT) AS DOUBLE), 6) AS DOUBLE) AS val
+            SELECT node, pos, CAST(ROUND(val, 6) AS DOUBLE) AS val
             FROM hop
         """,
         "er_mini": """
@@ -1749,6 +1793,30 @@ def oracle_sql() -> dict[str, str]:
                        1.0), 2.0), 6) AS DOUBLE) AS boost,
                    last_ts
             FROM agg
+        """,
+        "q41_ngram_jaccard_dedup": f"""
+            WITH d AS (SELECT doc_id, {tok} AS t FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+                FROM d WHERE len(t) >= 3),
+            mins AS (
+                SELECT doc_id, sh, unnest(
+                    list_sort(list_transform(sh, s -> md5(s)))[1:4]) AS mh
+                FROM sh),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sh AS sh_a, b.sh AS sh_b
+                FROM mins a JOIN mins b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+            scored AS (
+                SELECT id_a, id_b,
+                       len(list_intersect(sh_a, sh_b)) * 1.0
+                       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                           AS jac
+                FROM cand)
+            SELECT id_a, id_b, CAST(ROUND(jac, 6) AS DOUBLE) AS jaccard
+            FROM scored WHERE jac >= 0.5
         """,
         "er_mini_members": """
             WITH pages AS (

@@ -303,6 +303,7 @@ def cluster_metrics(
     signatures: DataFrame,
     accepted_pairs: DataFrame,
     weight_col: str = "pair_score",
+    sgc_hops: int = 0,
 ) -> DataFrame:
     """Per-cluster topology metrics (topology_baseline.cpp:122-208):
 
@@ -316,14 +317,41 @@ def cluster_metrics(
     centroid     = mean member embedding (topology_build_utils.h)
 
     Packed per component with collect_list, computed in one Arrow pass.
+
+    ``sgc_hops > 0`` runs the reference's SGC smoothing pre-pass over the
+    accepted-pair graph before the topology build (topology_sgc.cpp is
+    applied to TopologyDocumentInput embeddings before
+    topology_baseline.cpp consumes them) — member embeddings are replaced
+    by their graph-convolved versions, so centroids and any downstream
+    medoid similarity reflect the smoothed space. Default off.
     """
     import numpy as np
     import pandas as pd
 
     labels = connected_components(accepted_pairs)
 
+    sig_emb = signatures.select("url", "doc_hash", "embedding")
+    if sgc_hops > 0:
+        from yams_spark.operators.sgc import sgc_smooth
+
+        smoothed = sgc_smooth(
+            signatures.select(F.col("url").alias("node"), "embedding"),
+            accepted_pairs.select(
+                F.col("url_a").alias("src"), F.col("url_b").alias("dst"),
+                F.col(weight_col).alias("weight"),
+            ),
+            hops=sgc_hops,
+        ).select(F.col("node").alias("url"), F.col("embedding").alias("__sm"))
+        sig_emb = (
+            sig_emb.join(smoothed, "url", "left")
+            .select(
+                "url", "doc_hash",
+                F.coalesce("__sm", "embedding").alias("embedding"),
+            )
+        )
+
     mems = (
-        signatures.select("url", "doc_hash", "embedding")
+        sig_emb.select("url", "doc_hash", "embedding")
         .join(labels, "url", "inner")
         .groupBy("component")
         .agg(F.collect_list(F.struct("url", "doc_hash", "embedding")).alias("mems"))

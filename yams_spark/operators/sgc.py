@@ -35,9 +35,15 @@ def sgc_smooth(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "weight",
+    cast_float32: bool = True,
 ) -> DataFrame:
     """(node, embedding) -> (node, embedding) smoothed; float32 output like
-    the reference's stored embeddings (math in float64)."""
+    the reference's stored embeddings (math in float64).
+
+    ``cast_float32=False`` keeps float64: cross-engine comparisons need it
+    because near-zero dims (sign cancellation) land within float64
+    sum-order noise of a float32 rounding boundary — the float32 value is
+    then not a deterministic function of the mathematical result."""
     if hops <= 0:
         return features
     e = (
@@ -96,10 +102,11 @@ def sgc_smooth(
             .agg(F.sum(F.col("scale") * F.col("val")).alias("val"))
             .localCheckpoint(eager=False)
         )
+    out_t = "float" if cast_float32 else "double"
     out = dims.groupBy("node").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "val"))),
-            lambda s: s["val"].cast("float"),
+            lambda s: s["val"].cast(out_t),
         ).alias(vec_col)
     )
     return out.withColumnRenamed("node", id_col)
