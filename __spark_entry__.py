@@ -789,6 +789,36 @@ def q41_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_resolve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-resolution cascade (document_service.cpp:230-300): exact path >
+    basename > suffix > hash prefix, ambiguity newest-wins — over a
+    deterministic path layout with colliding basenames."""
+    _ship_package(spark)
+    from yams_spark.operators.resolve import resolve_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("/corpus/"), F.col("source"), F.lit("/"), F.col("lang"),
+            F.lit("/"), (F.col("doc_id") % 7).cast("string"), F.lit(".txt"),
+        ).alias("path"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("doc_hash"),
+        F.col("doc_id").alias("recency"),
+    )
+    hp = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == 10)
+        .select(F.substring(F.sha2(F.encode("text", "UTF-8"), 256), 1, 12))
+        .collect()[0][0]
+    )
+    out = resolve_documents(
+        d, ["3.txt", "en/5.txt", hp], recency_col="recency"
+    )
+    return out.select(
+        "query", "path", "doc_hash", "matched_via",
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1228,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_sgc_smoothing": q39_sgc_smoothing,
         "q40_hotzone_decay": q40_hotzone_decay,
         "q41_ngram_jaccard_dedup": q41_ngram_jaccard_dedup,
+        "q42_resolve_documents": q42_resolve_documents,
         "ann_pq_adc": ann_pq_adc,
         "media_features": media_features,
         "er_mini": er_mini,
@@ -1817,6 +1848,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand)
             SELECT id_a, id_b, CAST(ROUND(jac, 6) AS DOUBLE) AS jaccard
             FROM scored WHERE jac >= 0.5
+        """,
+        "q42_resolve_documents": """
+            WITH d AS (
+                SELECT '/corpus/' || source || '/' || lang || '/'
+                           || (doc_id % 7) || '.txt' AS path,
+                       sha256(text) AS doc_hash, doc_id AS recency
+                FROM documents),
+            q(query) AS (
+                SELECT '3.txt' UNION ALL SELECT 'en/5.txt'
+                UNION ALL
+                SELECT substr(sha256(text), 1, 12) FROM documents WHERE doc_id = 10),
+            m AS (
+                SELECT q.query, d.path, d.doc_hash, d.recency,
+                       CASE WHEN d.path = q.query THEN 1
+                            WHEN split_part(d.path, '/', -1) = q.query THEN 2
+                            WHEN d.path LIKE '%/' || q.query THEN 3
+                            WHEN regexp_matches(q.query, '^[0-9a-f]{6,64}$')
+                                 AND d.doc_hash LIKE q.query || '%' THEN 4
+                       END AS level
+                FROM q CROSS JOIN d
+                WHERE CASE WHEN d.path = q.query THEN 1
+                           WHEN split_part(d.path, '/', -1) = q.query THEN 2
+                           WHEN d.path LIKE '%/' || q.query THEN 3
+                           WHEN regexp_matches(q.query, '^[0-9a-f]{6,64}$')
+                                AND d.doc_hash LIKE q.query || '%' THEN 4
+                      END IS NOT NULL),
+            best AS (
+                SELECT *, MIN(level) OVER (PARTITION BY query) AS best_level
+                FROM m),
+            won AS (
+                SELECT query, path, doc_hash, level,
+                       ROW_NUMBER() OVER (PARTITION BY query
+                           ORDER BY recency DESC, path ASC) AS rk,
+                       COUNT(*) OVER (PARTITION BY query) AS n_matches
+                FROM best WHERE level = best_level)
+            SELECT query, path, doc_hash,
+                   CASE level WHEN 1 THEN 'exact_path' WHEN 2 THEN 'basename'
+                              WHEN 3 THEN 'suffix' ELSE 'hash_prefix'
+                   END AS matched_via,
+                   CAST(n_matches AS BIGINT) AS n_matches
+            FROM won WHERE rk = 1
         """,
         "er_mini_members": """
             WITH pages AS (

@@ -219,3 +219,52 @@ def test_cluster_metrics_sgc_prepass(spark) -> None:
     exp_centroid = np.mean([want["a"], want["b"], want["c"]], axis=0)
     assert sm["centroid"] == pytest.approx(list(exp_centroid), abs=1e-6)
     assert sm["centroid"] != pytest.approx(raw["centroid"], abs=1e-6)
+
+
+def test_resolve_documents_cascade(spark) -> None:
+    """document_service.cpp:230-300: exact path beats basename beats suffix
+    beats hash prefix; hash strategy only fires for hashy queries;
+    ambiguity settles newest-wins; no match -> no row."""
+    from yams_spark.operators.resolve import (
+        expansion_candidates,
+        resolve_documents,
+        token_salience,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("/a/b/readme.txt", "aabbcc112233", 1),
+            ("/x/readme.txt", "ddeeff445566", 2),   # newer basename collision
+            ("/a/b", "abcdef999999", 3),            # exact-path target
+            ("/h/deadbeef.txt", "deadbeef0001", 4),
+        ],
+        "path string, doc_hash string, warc_ts long",
+    )
+    out = {
+        r["query"]: r
+        for r in resolve_documents(
+            docs,
+            ["/a/b", "readme.txt", "b/readme.txt", "deadbeef00", "nope.md"],
+        ).collect()
+    }
+    # exact path wins even though '/a/b' is also a suffix of nothing else
+    assert out["/a/b"]["matched_via"] == "exact_path"
+    # basename collision -> newest (warc_ts 2) wins, n_matches records both
+    assert out["readme.txt"]["path"] == "/x/readme.txt"
+    assert out["readme.txt"]["n_matches"] == 2
+    # suffix narrows to the /a/b copy
+    assert out["b/readme.txt"]["path"] == "/a/b/readme.txt"
+    assert out["b/readme.txt"]["matched_via"] == "suffix"
+    # hashy query resolves by prefix; 'deadbeef.txt' basename does NOT match
+    assert out["deadbeef00"]["matched_via"] == "hash_prefix"
+    assert out["deadbeef00"]["doc_hash"] == "deadbeef0001"
+    assert "nope.md" not in out
+
+    # salience goldens (query_expansion.cpp:32-49)
+    assert token_salience("v2") == pytest.approx(0.05 + 1.25)
+    assert token_salience("internationalization") == pytest.approx(0.05 + 0.75)
+    assert token_salience("tokens") == pytest.approx(0.05 + 0.35)
+    assert token_salience("abc") == pytest.approx(0.05 + 0.10)
+    assert token_salience("ab") == pytest.approx(0.05)
+    cands = expansion_candidates(["shows", "42", "retrieval2024", "cat"])
+    assert [c[0] for c in cands] == ["retrieval2024", "cat"]  # weak+numeric dropped

@@ -1,0 +1,118 @@
+"""Smart document resolution + query-token salience.
+
+* ``resolve_documents`` — the reference's name-resolution cascade
+  (``reference src/app/services/document_service.cpp:230-300``): exact
+  path → exact basename → path suffix → hash prefix (only when the query
+  looks like one), with ambiguity settled newest-wins (then path asc) —
+  the `yams cat <name>` / `yams get <name>` surface. One broadcast join
+  of the (tiny) query list against the docs table; the strategy is a
+  per-row match level and the winner per query is the minimum level's
+  newest row.
+* ``token_salience`` — query-expansion token weighting
+  (``reference src/search/query_expansion.cpp:16-49``): digit bonus,
+  length tiers, numeric-only and weak-verb tokens excluded from
+  expansion.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: query_expansion.cpp:22-27
+WEAK_EXPANSION_TOKENS = frozenset(
+    {
+        "show", "shows", "showing", "shown", "demonstrate", "demonstrates",
+        "demonstrated", "indicate", "indicates", "indicated", "suggest",
+        "suggests", "reveals", "revealed",
+    }
+)
+
+_HASHY = re.compile(r"^[0-9a-f]{6,64}$")
+
+
+def token_salience(original: str, normalized: str | None = None) -> float:
+    """tokenFallbackSalience (query_expansion.cpp:32-49)."""
+    normalized = normalized if normalized is not None else original.lower()
+    score = 0.05
+    if any(c.isdigit() for c in original):
+        score += 1.25
+    n = len(normalized)
+    if n >= 10:
+        score += 0.75
+    elif n >= 6:
+        score += 0.35
+    elif n >= 3:
+        score += 0.10
+    return score
+
+
+def expansion_candidates(tokens: list[str]) -> list[tuple[str, float]]:
+    """(token, salience) for expansion-eligible tokens: numeric-only and
+    weak verbs are dropped (query_expansion.cpp:16-28), ordered salience
+    desc then token asc (deterministic)."""
+    out = []
+    seen = set()
+    for t in tokens:
+        n = t.lower()
+        if n in seen or n.isdigit() or n in WEAK_EXPANSION_TOKENS:
+            continue
+        seen.add(n)
+        out.append((n, token_salience(t, n)))
+    return sorted(out, key=lambda x: (-x[1], x[0]))
+
+
+def resolve_documents(
+    docs: DataFrame,
+    queries: list[str],
+    path_col: str = "path",
+    hash_col: str = "doc_hash",
+    recency_col: str = "warc_ts",
+) -> DataFrame:
+    """(query, path, doc_hash, matched_via, n_matches): each query resolved
+    through the cascade; ties broken newest-wins (recency desc, path asc).
+    Queries with no match produce no row (the NotFound case)."""
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame([(q,) for q in queries], ["query"])
+    d = docs.select(
+        F.col(path_col).alias("path"),
+        F.col(hash_col).alias("doc_hash"),
+        F.col(recency_col).alias("__rec"),
+    )
+    j = F.broadcast(qdf).crossJoin(d)
+    is_hashy = F.col("query").rlike(_HASHY.pattern)
+    level = (
+        F.when(F.col("path") == F.col("query"), F.lit(1))
+        .when(
+            F.element_at(F.split(F.col("path"), "/"), -1) == F.col("query"),
+            F.lit(2),
+        )
+        .when(
+            F.col("path").endswith(F.concat(F.lit("/"), F.col("query"))), F.lit(3)
+        )
+        .when(
+            is_hashy & F.col("doc_hash").startswith(F.col("query")), F.lit(4)
+        )
+    )
+    matched = j.withColumn("level", level).where(F.col("level").isNotNull())
+    w_q = Window.partitionBy("query")
+    best = matched.withColumn("best_level", F.min("level").over(w_q)).where(
+        F.col("level") == F.col("best_level")
+    )
+    w_pick = Window.partitionBy("query").orderBy(
+        F.col("__rec").desc(), F.col("path").asc()
+    )
+    via = (
+        F.when(F.col("level") == 1, F.lit("exact_path"))
+        .when(F.col("level") == 2, F.lit("basename"))
+        .when(F.col("level") == 3, F.lit("suffix"))
+        .otherwise(F.lit("hash_prefix"))
+    )
+    return (
+        best.withColumn("rk", F.row_number().over(w_pick))
+        .withColumn("n_matches", F.count("*").over(w_q))
+        .where(F.col("rk") == 1)
+        .select("query", "path", "doc_hash", via.alias("matched_via"), "n_matches")
+    )
