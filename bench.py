@@ -179,6 +179,8 @@ def main() -> None:
             "q06_topk_per_group", "q09_term_stats", "q11_bm25",
             "q12_fusion_rrf", "q13_tree_diff", "q17_quality_score",
             "q19_cosine_topk", "q20_embedding_near_dup",
+            "q31_ann_lsh_bucketed", "q32_grep_scan", "q36_doc_chunking",
+            "q41_ngram_jaccard_dedup",
         ]:
             t0 = _time.time()
             qs[name](spark, sf_dir).count()
