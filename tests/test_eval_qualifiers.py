@@ -56,3 +56,20 @@ def test_apply_qualifiers_filters(spark) -> None:
     assert text == "hello"
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["url"].endswith("x.html")
+
+
+def test_workspace_scope_filter(spark) -> None:
+    from yams_spark.operators.qualifiers import workspace_scope_filter
+
+    df = spark.createDataFrame(
+        [("https://a.example/x",), ("https://b.example/y",), ("file:///ws/z",)],
+        ["url"],
+    )
+    got = {
+        r["url"]
+        for r in workspace_scope_filter(
+            df, ["https://a.example/", "file:///ws/"]
+        ).collect()
+    }
+    assert got == {"https://a.example/x", "file:///ws/z"}
+    assert workspace_scope_filter(df, []).count() == 3  # unscoped

@@ -106,3 +106,20 @@ def apply_qualifiers(df: DataFrame, query: str, **cols) -> tuple[DataFrame, str]
     for pred in qualifier_predicates(parsed, **cols):
         df = df.where(pred)
     return df, parsed.text
+
+
+def workspace_scope_filter(
+    df: DataFrame, prefixes: list[str], path_col: str = "url"
+) -> DataFrame:
+    """Workspace scoping: keep rows whose path/url starts with one of the
+    workspace roots (the reference scopes every list/search/grep call to
+    the active workspace prefix set; empty prefix list = unscoped). A
+    prefix disjunction stays Catalyst-side and pushes down as
+    StringStartsWith into the scan."""
+    if not prefixes:
+        return df
+    pred = None
+    for p in prefixes:
+        c = F.col(path_col).startswith(p)
+        pred = c if pred is None else (pred | c)
+    return df.where(pred)
