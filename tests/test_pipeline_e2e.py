@@ -205,3 +205,33 @@ def test_oversized_component_split_wired(spark, tmp_path) -> None:
     # membership is preserved: every page lands in exactly one sub-cluster
     mem = out_on["members"].select("url").collect()
     assert len({r["url"] for r in mem}) == len(mem)
+
+
+def test_pipeline_edge_inputs(spark) -> None:
+    """Degenerate inputs: empty page set -> 0 clusters; empty html bytes,
+    broken entities, empty text -> zero-norm embeddings, pairs rejected,
+    no crash (the verify-skill probes, automated)."""
+    import pandas as pd
+
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = run_pipeline(spark, empty, PipelineConfig())
+    assert out["clusters"].count() == 0
+    assert out["members"].count() == 0
+
+    rows = [
+        ("u://empty", pd.Timestamp("2024-01-01"), b"", None, "en"),
+        ("u://broken", pd.Timestamp("2024-01-01"), b"<html><p>&#x;</p>", None, "en"),
+        ("u://ws", pd.Timestamp("2024-01-01"), b"<html><p>   </p></html>", None, "en"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    pages = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out2 = run_pipeline(spark, pages, PipelineConfig())
+    # zero-norm embeddings give cosine 0 -> every candidate pair rejected
+    assert out2["scored_pairs"].where("accepted").count() == 0
+    assert out2["clusters"].count() == 0
+    sigs = {r["url"]: r for r in out2["signatures"].collect()}
+    assert len(sigs) == 3 and all(s["doc_hash"] for s in sigs.values())
