@@ -1952,9 +1952,12 @@ def oracle_sql() -> dict[str, str]:
                        GREATEST(pos - 7, 1) AS s
                 FROM hit)
             SELECT doc_id,
-                   array_to_string(list_transform(tokens[s : s + 15],
+                   CASE WHEN s > 1 THEN '...' ELSE '' END
+                   || array_to_string(list_transform(tokens[s : s + 15],
                        t -> CASE WHEN t = 'stream' THEN '<b>' || t || '</b>'
-                                 ELSE t END), ' ') AS snippet
+                                 ELSE t END), ' ')
+                   || CASE WHEN s + 15 < len(tokens) THEN '...' ELSE '' END
+                       AS snippet
             FROM win
         """,
         "q31_ann_lsh_bucketed": f"""

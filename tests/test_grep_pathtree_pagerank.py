@@ -68,7 +68,10 @@ def test_snippet_window_and_wrapping(spark) -> None:
     docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
     out = with_snippets(docs, "needle").collect()
     assert len(out) == 1
-    snip = out[0]["snippet"].split(" ")
+    raw = out[0]["snippet"]
+    # both sides clip (40 tokens, window 14..29) -> '...' affixes
+    assert raw.startswith("...") and raw.endswith("...")
+    snip = raw.removeprefix("...").removesuffix("...").split(" ")
     assert len(snip) == 16
     # window starts 7 tokens before the first hit (pos 21 1-based -> start 14)
     assert snip[0] == "w13"
@@ -76,11 +79,16 @@ def test_snippet_window_and_wrapping(spark) -> None:
     assert snip[12] == "<b>needle</b>"  # every in-window occurrence wrapped
     # absent term -> no row
     assert with_snippets(docs, "absent").count() == 0
-    # hit near the start clamps the window to token 1
+    # hit near the start clamps the window to token 1: no leading ellipsis
     docs2 = spark.createDataFrame([(1, "needle " + " ".join(words[:20]))],
                                   "doc_id long, text string")
-    s2 = with_snippets(docs2, "needle").collect()[0]["snippet"].split(" ")
+    raw2 = with_snippets(docs2, "needle").collect()[0]["snippet"]
+    assert not raw2.startswith("...") and raw2.endswith("...")
+    s2 = raw2.removesuffix("...").split(" ")
     assert s2[0] == "<b>needle</b>" and len(s2) == 16
+    # short doc: window covers everything -> no ellipsis at all
+    docs3 = spark.createDataFrame([(1, "a needle here")], "doc_id long, text string")
+    assert with_snippets(docs3, "needle").collect()[0]["snippet"] == "a <b>needle</b> here"
 
 
 def test_path_tree_rollup_centroid(spark) -> None:

@@ -126,10 +126,13 @@ def snippet_expr(
     window: int = 16,
     open_tag: str = "<b>",
     close_tag: str = "</b>",
+    ellipsis: str = "...",
 ) -> Column:
-    """FTS5-style snippet over a tokenized column: ``window`` tokens
-    starting at most window/2-1 before the first occurrence of ``term``,
-    occurrences wrapped in tags, joined by ' '. NULL when absent."""
+    """FTS5-style ``snippet(fts, col, '<b>', '</b>', '...', 16)`` over a
+    tokenized column: ``window`` tokens starting at most window/2-1 before
+    the first occurrence of ``term``, occurrences wrapped in tags, joined
+    by ' ', with the ellipsis affixed on whichever side the window clips
+    (exactly the FTS5 contract, search_ops.cpp:191). NULL when absent."""
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     pos = F.array_position(toks, term)  # 1-based, 0 if absent
     start = F.greatest(pos - (window // 2 - 1), F.lit(1))
@@ -140,7 +143,12 @@ def snippet_expr(
             t == term, F.concat(F.lit(open_tag), t, F.lit(close_tag))
         ).otherwise(t),
     )
-    return F.when(pos > 0, F.concat_ws(" ", marked))
+    body = F.concat_ws(" ", marked)
+    pre = F.when(start > 1, F.lit(ellipsis)).otherwise(F.lit(""))
+    post = F.when(
+        start + window - 1 < F.size(toks), F.lit(ellipsis)
+    ).otherwise(F.lit(""))
+    return F.when(pos > 0, F.concat(pre, body, post))
 
 
 def with_snippets(
