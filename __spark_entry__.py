@@ -42,6 +42,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Cached table cardinality — feeds size hints (e.g. the ANN exact-vs-
+    LSH gate) so repeated queries don't pay a count() job per call."""
+    key = (os.path.normpath(sf_dir), name)
+    if key not in _ROWCOUNT_CACHE:
+        _ROWCOUNT_CACHE[key] = _t(spark, sf_dir, name).count()
+    return _ROWCOUNT_CACHE[key]
+
+
 def _ship_package(spark: SparkSession) -> None:
     from yams_spark.session import _ship_package as ship
 
@@ -500,7 +512,9 @@ def q19_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk(spark, e, q, k=5)
+    return cosine_topk(
+        spark, e, q, k=5, corpus_rows=_table_rows(spark, sf_dir, "embeddings")
+    )
 
 
 def q20_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,7 +524,9 @@ def q20_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yams_spark.operators.ann import near_dup_pairs_topn
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return near_dup_pairs_topn(spark, e, n=100)
+    return near_dup_pairs_topn(
+        spark, e, n=100, corpus_rows=_table_rows(spark, sf_dir, "embeddings")
+    )
 
 
 def q31_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,21 +1638,33 @@ def oracle_sql() -> dict[str, str]:
             nn AS (SELECT COUNT(*) AS n FROM nodes),
             deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
             r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+            -- each round redistributes the dangling mass (nodes with no
+            -- out-edge) uniformly inside the damping factor, exactly like
+            -- graph.pagerank: r = 0.15/n + 0.85*(in_mass + dangling/n)
+            d0 AS (SELECT COALESCE(SUM(rank), 0) AS d FROM r0
+                   WHERE node NOT IN (SELECT src FROM deg)),
             r1 AS (
-                SELECT nodes.node, (0.15 / nn.n) + 0.85 * COALESCE(m.mass, 0) AS rank
-                FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT nodes.node,
+                       (0.15 / nn.n) + 0.85 * (COALESCE(m.mass, 0) + d0.d / nn.n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d0 LEFT JOIN (
                     SELECT e.dst AS node, SUM(r0.rank / deg.outdeg) AS mass
                     FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
                     GROUP BY e.dst) m ON m.node = nodes.node),
+            d1 AS (SELECT COALESCE(SUM(rank), 0) AS d FROM r1
+                   WHERE node NOT IN (SELECT src FROM deg)),
             r2 AS (
-                SELECT nodes.node, (0.15 / nn.n) + 0.85 * COALESCE(m.mass, 0) AS rank
-                FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT nodes.node,
+                       (0.15 / nn.n) + 0.85 * (COALESCE(m.mass, 0) + d1.d / nn.n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d1 LEFT JOIN (
                     SELECT e.dst AS node, SUM(r1.rank / deg.outdeg) AS mass
                     FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
                     GROUP BY e.dst) m ON m.node = nodes.node),
+            d2 AS (SELECT COALESCE(SUM(rank), 0) AS d FROM r2
+                   WHERE node NOT IN (SELECT src FROM deg)),
             r3 AS (
-                SELECT nodes.node, (0.15 / nn.n) + 0.85 * COALESCE(m.mass, 0) AS rank
-                FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT nodes.node,
+                       (0.15 / nn.n) + 0.85 * (COALESCE(m.mass, 0) + d2.d / nn.n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d2 LEFT JOIN (
                     SELECT e.dst AS node, SUM(r2.rank / deg.outdeg) AS mass
                     FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
                     GROUP BY e.dst) m ON m.node = nodes.node)
@@ -1646,11 +1674,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q36_doc_chunking": """
             WITH d AS (
+                -- length(text) > 0 matches chunk_text('') -> [] on the
+                -- Spark side (zero chunk rows for an empty document)
                 SELECT doc_id, text, length(text) AS n,
                        CASE WHEN length(text) <= 200 THEN 1
                             ELSE CAST(ceil((length(text) - 200) / 150.0) AS INTEGER) + 1
                        END AS n_chunks
-                FROM documents),
+                FROM documents WHERE length(text) > 0),
             c AS (
                 SELECT doc_id, text, n, CAST(k AS INTEGER) AS chunk_index,
                        CAST(k * 150 AS BIGINT) AS start_offset
@@ -1662,7 +1692,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM c)
             SELECT doc_id, chunk_index, start_offset,
                    CAST(end_offset AS BIGINT) AS end_offset,
-                   CAST(len(list_filter(string_split(content, ' '), x -> x <> ''))
+                   -- regexp split on \\s+ matches Python str.split() (any
+                   -- whitespace), not just spaces
+                   CAST(len(list_filter(regexp_split_to_array(content, '\\s+'),
+                                        x -> x <> ''))
                         AS INTEGER) AS token_count,
                    sha256(content) AS chunk_sha
             FROM s

@@ -26,6 +26,14 @@ def test_extract_literal() -> None:
     assert extract_literal(r"\d+ errors") == " errors"
     assert extract_literal("x*") == ""
     assert extract_literal(r"lit\.eral") == "lit.eral"  # escaped dot is literal
+    # escaped alphanumerics are regex classes/anchors, never literal chars
+    # (literal_extractor.cpp:44-58): \berror must prefilter on 'error', not
+    # 'berror'; \d\d-\d\d has no usable literal at all
+    assert extract_literal(r"\berror") == "error"
+    assert extract_literal(r"\d\d-\d\d") == "-"
+    assert extract_literal(r"\w+@\w+\.com") == ".com"
+    assert extract_literal(r"foo\sbar") == "foo"
+    assert extract_literal(r"\.?x") == "x"  # quantified escaped punct excluded
 
 
 def test_grep_scan_matches_python_re(spark) -> None:

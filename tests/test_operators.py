@@ -367,3 +367,28 @@ def test_media_codecs_roundtrip() -> None:
     assert af[3] > 0.9  # band energy concentrated where the tone is
     assert abs(af[0] - 0.5 / np.sqrt(2)) < 1e-3  # RMS of a sine
     assert abs(af[2] - 1.0) < 1e-6  # duration 1 s
+
+
+def test_metadata_component_empty_filters_raises(spark) -> None:
+    """Empty conjunction is a caller bug (the reference skips the component
+    for unconstrained queries) — pin the ValueError contract."""
+    from yams_spark.operators.components import metadata_component
+
+    doc_meta = spark.createDataFrame(
+        [(1, "lang", "en")], "doc_id long, key string, value string"
+    )
+    with pytest.raises(ValueError, match="at least one key=value filter"):
+        metadata_component(doc_meta, {})
+
+
+def test_ann_corpus_rows_hint_same_result(spark) -> None:
+    """Passing the corpus_rows size hint must not change results, only skip
+    the per-invocation count() job that picks the exact-vs-LSH route."""
+    from yams_spark.operators.ann import cosine_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(16)]) for i in range(12)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.where(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    base = sorted(map(tuple, cosine_topk(spark, e, q, k=3).collect()))
+    hinted = sorted(map(tuple, cosine_topk(spark, e, q, k=3, corpus_rows=12).collect()))
+    assert base == hinted

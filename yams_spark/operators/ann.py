@@ -207,6 +207,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_to: int = 5,
     max_exact_rows: int = EXACT_MAX_CORPUS_ROWS,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Top-k neighbors per query (excluding self id), scale-gated.
 
@@ -214,9 +215,14 @@ def cosine_topk(
     exact-path budget; LSH-bucketed approximate search above it (the
     corpus never leaves the executors). Returns (query_id, vec_id, cosine,
     rk); cosine rounded for stable cross-engine comparison; ties broken by
-    vec_id asc.
+    vec_id asc. ``corpus_rows`` is an optional size hint: when the caller
+    already knows the corpus cardinality, passing it skips the count()
+    job the gate would otherwise run per invocation.
     """
-    if max_exact_rows is not None and corpus.count() > max_exact_rows:
+    n_rows = corpus_rows if corpus_rows is not None else (
+        corpus.count() if max_exact_rows is not None else 0
+    )
+    if max_exact_rows is not None and n_rows > max_exact_rows:
         return cosine_topk_bucketed(
             corpus, queries, k, id_col, query_id_col, vec_col, round_to
         )
@@ -265,6 +271,7 @@ def near_dup_pairs_topn(
     vec_col: str = "embedding",
     round_to: int = 5,
     max_exact_rows: int = EXACT_MAX_CORPUS_ROWS,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Global top-n most-similar pairs (id_a < id_b), scale-gated.
 
@@ -274,8 +281,12 @@ def near_dup_pairs_topn(
     its smaller... (either) side, and local prune keeps n candidates
     ordered identically to the global ordering. Above the gate: LSH-
     bucketed candidates + within-bucket exact cosine, fully distributed.
+    ``corpus_rows`` is the same optional size hint as ``cosine_topk``'s.
     """
-    if max_exact_rows is not None and corpus.count() > max_exact_rows:
+    n_rows = corpus_rows if corpus_rows is not None else (
+        corpus.count() if max_exact_rows is not None else 0
+    )
+    if max_exact_rows is not None and n_rows > max_exact_rows:
         return near_dup_pairs_bucketed(
             corpus, threshold=-1.0, n=n, id_col=id_col, vec_col=vec_col,
             round_to=round_to,

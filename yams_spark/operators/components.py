@@ -67,7 +67,15 @@ def metadata_component(
     """(doc_id, source='metadata', score=1.0, rank). doc_meta: one row per
     (document, key, value); a document matches when EVERY filter key maps
     to the requested value (conjunctive, like the reference's parsed
-    key:value query filters)."""
+    key:value query filters). Empty ``filters`` is rejected: the reference
+    treats "no metadata filters" as "don't run the metadata component at
+    all" (the caller skips it, see hybrid_search), so an empty conjunction
+    here is a caller bug, not an unconstrained scan."""
+    if not filters:
+        raise ValueError(
+            "metadata_component requires at least one key=value filter; "
+            "skip the component entirely for unconstrained queries"
+        )
     cond = None
     for k, v in filters.items():
         c = (F.col(key_col) == k) & (F.col(value_col) == v)

@@ -127,8 +127,11 @@ def pagerank(
     Each iteration is one join + one aggregation on the (src-partitioned)
     edge table; lineage is truncated per round with lazy localCheckpoint
     (materialized by the round's own job — the CC loop's hygiene pattern).
-    The dangling mass is a scalar aggregate per round (one small job); at
-    10^12 edges the per-round cost is the contribution shuffle, which
+    The dangling mass stays IN the plan as a 1-row aggregate crossJoined
+    into the rank update — no driver collect() per round, so the fixed
+    iteration count compiles to a single action chain with zero scheduling
+    round-trips (the round-1 version paid one scalar job per iteration).
+    At 10^12 edges the per-round cost is the contribution shuffle, which
     reuses the edge table's partitioning across all rounds.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -155,19 +158,24 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_mass"))
         )
-        dangling = (
-            dangling_nodes.join(ranks, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        # 1-row dangling-mass aggregate, crossJoined (broadcast) into the
+        # same plan — the previous ranks are checkpoint-cached, so both
+        # consumers (contribs + dangling) read one materialization
+        dangling = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
         )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("__dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)

@@ -44,13 +44,22 @@ def extract_literal(pattern: str) -> str:
     n = len(pattern)
     while i < n:
         c = pattern[i]
-        if c == "\\" and i + 1 < n:  # escaped char: literal, unless quantified
+        if c == "\\" and i + 1 < n:
             nxt = pattern[i + 2] if i + 2 < n else ""
-            if nxt in "?*{":
+            if pattern[i + 1].isalnum():
+                # \d \w \s \b \B \1 ... are regex classes/anchors, NOT the
+                # literal letter: flush the run (literal_extractor.cpp:44-58;
+                # appending the class letter would prefilter on a substring
+                # that never occurs in real matches)
+                runs.append("".join(cur))
+                cur = []
+            elif nxt in "?*{":
+                # escaped punctuation that is itself quantified (\.?) may
+                # not occur in a match
                 runs.append("".join(cur))
                 cur = []
             else:
-                cur.append(pattern[i + 1])
+                cur.append(pattern[i + 1])  # escaped literal: \. \* ...
             i += 2
             continue
         if c in _META:
