@@ -835,6 +835,80 @@ def q42_resolve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic KG fixture: the synthetic corpus is all-lowercase, so the
+# capitalized-span extractor needs a re-cased page view — title-case every
+# token starting with 's'/'t' (adjacent ones become multi-word spans).
+# Stated once, identically, for Spark and DuckDB.
+_KG_CAP_SPARK = (
+    "array_join(transform(filter(split(text, ' '), x -> x <> ''), "
+    "x -> CASE WHEN substring(x, 1, 1) IN ('s', 't') "
+    "THEN concat(upper(substring(x, 1, 1)), substring(x, 2)) ELSE x END), ' ')"
+)
+_KG_CAP_DUCK = (
+    "array_to_string(list_transform(list_filter(string_split(text, ' '), "
+    "x -> x <> ''), x -> CASE WHEN substr(x, 1, 1) IN ('s', 't') "
+    "THEN upper(substr(x, 1, 1)) || substr(x, 2) ELSE x END), ' ')"
+)
+_KG_PATTERN_DUCK = "[A-Z][a-z]+(?: [A-Z][a-z]+)*"
+
+
+def _kg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_KG_CAP_SPARK).alias("text")
+    )
+
+
+def q43_kg_doc_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG population stage 1 — kg_doc_entities (migration.cpp:912-923;
+    PostIngestQueue.cpp:2440-2720): per-document entity mentions from the
+    deterministic capitalized-span extractor, aggregated to (document,
+    entity, node_key, n_mentions, confidence). Offsets are pytest-verified
+    (regexp_extract_all can't surface match positions in SQL)."""
+    _ship_package(spark)
+    from yams_spark.operators.kg import extract_doc_entities
+
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    return ents.groupBy("document_id", "entity_text", "node_key").agg(
+        F.count("*").alias("n_mentions"),
+        F.max("confidence").cast("double").alias("confidence"),
+    )
+
+
+def q44_kg_node_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG population stage 2 — kg_node_stats (migration.cpp:926-938):
+    degree / neighbor_count / pagerank over the entity→document
+    mentioned_in graph. Document nodes are pure sinks, so this oracle
+    exercises the dangling-mass redistribution end-to-end (3 damped
+    iterations, unrolled in SQL like q35)."""
+    _ship_package(spark)
+    from yams_spark.operators.kg import (
+        build_kg_edges,
+        extract_doc_entities,
+        kg_node_stats,
+    )
+
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    stats = kg_node_stats(build_kg_edges(ents), pagerank_iters=3)
+    return stats.select(
+        "node", "degree", "out_degree", "in_degree", "neighbor_count",
+        F.round("pagerank", 6).cast("double").alias("pagerank"),
+    )
+
+
+def q45_kg_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG population stage 3 — kg_aliases (migration.cpp:877-885): the
+    deterministic alias variants (surface / lowercase / acronym) written
+    per entity node for query-time resolution
+    (buildNlAliasVariants, PostIngestQueue.cpp:2684-2691)."""
+    _ship_package(spark)
+    from yams_spark.operators.kg import build_kg_aliases, extract_doc_entities
+
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    return build_kg_aliases(ents).select(
+        "node_key", "alias", "source", F.col("confidence").cast("double").alias("confidence")
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1275,6 +1349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_hotzone_decay": q40_hotzone_decay,
         "q41_ngram_jaccard_dedup": q41_ngram_jaccard_dedup,
         "q42_resolve_documents": q42_resolve_documents,
+        "q43_kg_doc_entities": q43_kg_doc_entities,
+        "q44_kg_node_stats": q44_kg_node_stats,
+        "q45_kg_aliases": q45_kg_aliases,
         "ann_pq_adc": ann_pq_adc,
         "media_features": media_features,
         "er_mini": er_mini,
@@ -1922,6 +1999,112 @@ def oracle_sql() -> dict[str, str]:
                    END AS matched_via,
                    CAST(n_matches AS BIGINT) AS n_matches
             FROM won WHERE rk = 1
+        """,
+        "q43_kg_doc_entities": f"""
+            WITH p AS (
+                SELECT doc_id, {_KG_CAP_DUCK} AS ptext FROM documents),
+            m AS (
+                SELECT doc_id AS document_id,
+                       unnest(regexp_extract_all(ptext, '{_KG_PATTERN_DUCK}'))
+                           AS entity_text
+                FROM p)
+            SELECT document_id, entity_text,
+                   'nl_entity:span:' || lower(entity_text) AS node_key,
+                   COUNT(*) AS n_mentions,
+                   CAST(LEAST(1.0, 0.5 + 0.25
+                        * len(string_split(entity_text, ' '))) AS DOUBLE)
+                       AS confidence
+            FROM m WHERE length(entity_text) >= 3
+            GROUP BY document_id, entity_text
+        """,
+        "q44_kg_node_stats": f"""
+            WITH p AS (
+                SELECT doc_id, {_KG_CAP_DUCK} AS ptext FROM documents),
+            m AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(ptext, '{_KG_PATTERN_DUCK}')) AS e
+                FROM p),
+            ed AS (
+                SELECT DISTINCT 'nl_entity:span:' || lower(e) AS src,
+                       'doc:' || doc_id AS dst
+                FROM m WHERE length(e) >= 3),
+            nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
+            r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+            d0 AS (SELECT COALESCE(SUM(rank), 0) AS d FROM r0
+                   WHERE node NOT IN (SELECT src FROM deg)),
+            r1 AS (
+                SELECT nodes.node,
+                       (0.15 / nn.n) + 0.85 * (COALESCE(m.mass, 0) + d0.d / nn.n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d0 LEFT JOIN (
+                    SELECT ed.dst AS node, SUM(r0.rank / deg.outdeg) AS mass
+                    FROM ed JOIN deg USING (src) JOIN r0 ON r0.node = ed.src
+                    GROUP BY ed.dst) m ON m.node = nodes.node),
+            d1 AS (SELECT COALESCE(SUM(rank), 0) AS d FROM r1
+                   WHERE node NOT IN (SELECT src FROM deg)),
+            r2 AS (
+                SELECT nodes.node,
+                       (0.15 / nn.n) + 0.85 * (COALESCE(m.mass, 0) + d1.d / nn.n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d1 LEFT JOIN (
+                    SELECT ed.dst AS node, SUM(r1.rank / deg.outdeg) AS mass
+                    FROM ed JOIN deg USING (src) JOIN r1 ON r1.node = ed.src
+                    GROUP BY ed.dst) m ON m.node = nodes.node),
+            d2 AS (SELECT COALESCE(SUM(rank), 0) AS d FROM r2
+                   WHERE node NOT IN (SELECT src FROM deg)),
+            r3 AS (
+                SELECT nodes.node,
+                       (0.15 / nn.n) + 0.85 * (COALESCE(m.mass, 0) + d2.d / nn.n) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d2 LEFT JOIN (
+                    SELECT ed.dst AS node, SUM(r2.rank / deg.outdeg) AS mass
+                    FROM ed JOIN deg USING (src) JOIN r2 ON r2.node = ed.src
+                    GROUP BY ed.dst) m ON m.node = nodes.node),
+            degs AS (
+                SELECT nodes.node,
+                       COALESCE(o.outdeg, 0) AS out_degree,
+                       COALESCE(i.indeg, 0) AS in_degree
+                FROM nodes
+                LEFT JOIN (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src) o
+                    ON o.src = nodes.node
+                LEFT JOIN (SELECT dst, COUNT(*) AS indeg FROM ed GROUP BY dst) i
+                    ON i.dst = nodes.node),
+            nb AS (
+                SELECT node, COUNT(DISTINCT peer) AS neighbor_count FROM (
+                    SELECT src AS node, dst AS peer FROM ed
+                    UNION ALL SELECT dst, src FROM ed)
+                GROUP BY node)
+            SELECT degs.node,
+                   CAST(degs.out_degree + degs.in_degree AS BIGINT) AS degree,
+                   CAST(degs.out_degree AS BIGINT) AS out_degree,
+                   CAST(degs.in_degree AS BIGINT) AS in_degree,
+                   CAST(nb.neighbor_count AS BIGINT) AS neighbor_count,
+                   CAST(ROUND(r3.rank, 6) AS DOUBLE) AS pagerank
+            FROM degs JOIN nb USING (node) JOIN r3 ON r3.node = degs.node
+        """,
+        "q45_kg_aliases": f"""
+            WITH p AS (
+                SELECT doc_id, {_KG_CAP_DUCK} AS ptext FROM documents),
+            m AS (
+                SELECT unnest(regexp_extract_all(ptext, '{_KG_PATTERN_DUCK}')) AS e
+                FROM p),
+            ent AS (
+                SELECT DISTINCT 'nl_entity:span:' || lower(e) AS node_key,
+                       e AS entity_text
+                FROM m WHERE length(e) >= 3),
+            v AS (
+                SELECT node_key, entity_text AS alias, 'surface' AS source,
+                       1.0 AS confidence FROM ent
+                UNION ALL
+                SELECT node_key, lower(entity_text), 'lower', 0.9 FROM ent
+                UNION ALL
+                SELECT node_key,
+                       array_to_string(list_transform(
+                           string_split(entity_text, ' '), w -> substr(w, 1, 1)), ''),
+                       'acronym', 0.7
+                FROM ent WHERE len(string_split(entity_text, ' ')) >= 2)
+            SELECT node_key, alias, arg_max(source, confidence) AS source,
+                   CAST(MAX(confidence) AS DOUBLE) AS confidence
+            FROM v GROUP BY node_key, alias
         """,
         "er_mini_members": """
             WITH pages AS (
