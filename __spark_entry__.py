@@ -909,6 +909,60 @@ def q45_kg_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 phrase query over the positional posting index
+    (search_query_helpers.cpp:356-384; FTS5 evaluates quoted phrases by
+    position-list intersection): documents containing the adjacent-token
+    phrase "table scan" with occurrence counts — a strict subset of the
+    AND query (34 vs 324 docs at sf0.01), which is exactly what the
+    phrase operator adds over q11-style term matching."""
+    _ship_package(spark)
+    from yams_spark.operators.search import build_positional_postings, phrase_match
+
+    d = _t(spark, sf_dir, "documents")
+    pp = build_positional_postings(d, "doc_id", "text")
+    return phrase_match(pp, ["table", "scan"]).select(
+        "doc_id", F.col("n_occurrences").cast("int").alias("n_occurrences")
+    )
+
+
+def q47_snippet_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 snippet() window selection over ALL query terms
+    (search_ops.cpp:191): candidate windows anchored at every hit of
+    either term, scored by (distinct terms covered, total hits), earliest
+    wins — the real multi-term contract q33's single-term variant
+    approximated."""
+    _ship_package(spark)
+    from yams_spark.operators.grep import with_snippets_multi
+
+    d = _t(spark, sf_dir, "documents")
+    return with_snippets_multi(d, ["stream", "vector"]).select("doc_id", "snippet")
+
+
+def q48_grep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -B/-A context lines + whole-word matching
+    (services.hpp:370-376): lines matching \\bstream\\b plus 2 lines
+    before / 1 after, flagged is_match — one per-document window over the
+    exploded lines, never a global sort. Fixture folds each document into
+    8-token lines (the corpus is single-line), identically in both
+    engines."""
+    _ship_package(spark)
+    from yams_spark.operators.grep import grep_lines_context
+
+    base = _t(spark, sf_dir, "documents").where(
+        F.expr("size(filter(split(text, ' '), x -> x <> ''))") > 0
+    )
+    d = base.select("doc_id", F.expr(
+        "array_join(transform(sequence(0, cast(ceil(size(filter(split(text, ' '), "
+        "x -> x <> '')) / 8.0) as int) - 1), "
+        "k -> array_join(slice(filter(split(text, ' '), x -> x <> ''), k * 8 + 1, 8), ' ')), "
+        "'\\n')"
+    ).alias("text"))
+    out = grep_lines_context(d, "stream", before=2, after=1, whole_word=True)
+    return out.select("doc_id", F.col("line_no").cast("int").alias("line_no"),
+                      "line", "is_match")
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1352,6 +1406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_kg_doc_entities": q43_kg_doc_entities,
         "q44_kg_node_stats": q44_kg_node_stats,
         "q45_kg_aliases": q45_kg_aliases,
+        "q46_phrase_match": q46_phrase_match,
+        "q47_snippet_multiterm": q47_snippet_multiterm,
+        "q48_grep_context": q48_grep_context,
         "ann_pq_adc": ann_pq_adc,
         "media_features": media_features,
         "er_mini": er_mini,
@@ -2105,6 +2162,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT node_key, alias, arg_max(source, confidence) AS source,
                    CAST(MAX(confidence) AS DOUBLE) AS confidence
             FROM v GROUP BY node_key, alias
+        """,
+        "q46_phrase_match": f"""
+            WITH d AS (SELECT doc_id, {tok} AS t FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(range(1, len(t)),
+                        i -> t[i] = 'table' AND t[i + 1] = 'scan')) AS INTEGER)
+                       AS n_occurrences
+            FROM d
+            WHERE len(list_filter(range(1, len(t)),
+                      i -> t[i] = 'table' AND t[i + 1] = 'scan')) > 0
+        """,
+        "q47_snippet_multiterm": f"""
+            WITH d AS (SELECT doc_id, {tok} AS tokens FROM documents),
+            h AS (
+                SELECT doc_id, tokens, len(tokens) AS n,
+                       list_filter(range(1, len(tokens) + 1),
+                           i -> list_contains(['stream', 'vector'], tokens[i]))
+                           AS hitpos
+                FROM d),
+            c AS (
+                SELECT doc_id, tokens, n,
+                       list_distinct(list_transform(hitpos,
+                           p -> least(greatest(p - 7, 1), greatest(n - 15, 1))))
+                           AS starts
+                FROM h WHERE len(hitpos) > 0),
+            b AS (
+                SELECT doc_id, tokens, n,
+                       list_max(list_transform(starts, s -> {{
+                           'cov': len(list_intersect(
+                               list_distinct(tokens[s : s + 15]),
+                               ['stream', 'vector'])),
+                           'nh': len(list_filter(tokens[s : s + 15],
+                               t -> list_contains(['stream', 'vector'], t))),
+                           'negs': -s}})) AS best
+                FROM c),
+            w AS (SELECT doc_id, tokens, n, (0 - best.negs) AS s FROM b)
+            SELECT doc_id,
+                   CASE WHEN s > 1 THEN '...' ELSE '' END
+                   || array_to_string(list_transform(tokens[s : s + 15],
+                       t -> CASE WHEN list_contains(['stream', 'vector'], t)
+                                 THEN '<b>' || t || '</b>' ELSE t END), ' ')
+                   || CASE WHEN s + 15 < n THEN '...' ELSE '' END AS snippet
+            FROM w
+        """,
+        "q48_grep_context": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+                WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+            folded AS (
+                SELECT doc_id,
+                       list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INTEGER)),
+                           k -> array_to_string(toks[k * 8 + 1 : k * 8 + 8], ' '))
+                           AS lines
+                FROM base),
+            l AS (
+                SELECT doc_id,
+                       generate_subscripts(lines, 1) AS line_no,
+                       unnest(lines) AS line
+                FROM folded),
+            m AS (
+                SELECT doc_id, line_no, line,
+                       regexp_matches(line, '\\bstream\\b') AS is_match
+                FROM l),
+            v AS (
+                SELECT *,
+                       MAX(CASE WHEN is_match THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY line_no
+                           ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS vis
+                FROM m)
+            SELECT doc_id, CAST(line_no AS INTEGER) AS line_no, line, is_match
+            FROM v WHERE vis = 1
         """,
         "er_mini_members": """
             WITH pages AS (

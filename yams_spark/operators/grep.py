@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: the reference enables the BMH prefilter at literal length >= 3
@@ -75,30 +75,76 @@ def extract_literal(pattern: str) -> str:
     return max(runs, key=len) if runs else ""
 
 
-def grep_scan(
-    docs: DataFrame,
+def _effective_pattern(
     pattern: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    literal_text: bool = False,
-) -> DataFrame:
-    """Per-document match counts for ``pattern``, two-phase.
-
-    Returns (id, n_matches) for documents with >= 1 match. Phase 1 is the
-    literal substring prefilter (skipped if no literal >= 3 chars can be
-    extracted, exactly like the reference); phase 2 runs the real regex
-    only on prefilter survivors. ``literal_text=True`` treats the pattern
-    as a verbatim string (grep -F).
-    """
+    literal_text: bool,
+    whole_word: bool,
+    ignore_case: bool,
+) -> tuple[str, str]:
+    """(regex, prefilter_literal) after applying the reference's pattern
+    options (services.hpp:373-377): -F literal, -w whole-word wrap, -i
+    case fold. The prefilter literal is lowercased under -i and compared
+    against lower(text) — same effect as the reference lowercasing BMH
+    needles (literal_extractor.cpp:84-89)."""
     if literal_text:
         literal = pattern
         regex = re.escape(pattern)
     else:
         literal = extract_literal(pattern)
         regex = pattern
+    if whole_word:
+        regex = r"\b(?:" + regex + r")\b"
+    if ignore_case:
+        regex = "(?i)" + regex
+        literal = literal.lower()
+    return regex, literal
+
+
+def _prefiltered(
+    docs: DataFrame, literal: str, text_col: str, ignore_case: bool
+) -> DataFrame:
+    if len(literal) < MIN_LITERAL_LENGTH:
+        return docs
+    hay = F.lower(F.col(text_col)) if ignore_case else F.col(text_col)
+    return docs.where(F.contains(hay, F.lit(literal)))
+
+
+def grep_scan(
+    docs: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    literal_text: bool = False,
+    whole_word: bool = False,
+    ignore_case: bool = False,
+    files_without_match: bool = False,
+    path_glob: str | None = None,
+    path_col: str | None = None,
+) -> DataFrame:
+    """Per-document match counts for ``pattern``, two-phase.
+
+    Returns (id, n_matches) for documents with >= 1 match. Phase 1 is the
+    literal substring prefilter (skipped if no literal >= 3 chars can be
+    extracted, exactly like the reference); phase 2 runs the real regex
+    only on prefilter survivors. Option surface mirrors the reference's
+    GrepRequest (services.hpp:373-385): ``literal_text`` (grep -F),
+    ``whole_word`` (-w), ``ignore_case`` (-i), ``files_without_match``
+    (-L: ids with zero matches, n_matches = 0 — the prefilter is skipped
+    because absence can't be prefiltered), ``path_glob``+``path_col``
+    (include-glob scoping, composable with workspace_scope_filter).
+    """
+    regex, literal = _effective_pattern(pattern, literal_text, whole_word, ignore_case)
     out = docs
-    if len(literal) >= MIN_LITERAL_LENGTH:
-        out = out.where(F.contains(F.col(text_col), F.lit(literal)))
+    if path_glob is not None and path_col is not None:
+        from yams_spark.operators.qualifiers import _glob_to_rlike
+
+        out = out.where(F.col(path_col).rlike(_glob_to_rlike(path_glob)))
+    if files_without_match:
+        return out.select(
+            F.col(id_col),
+            F.regexp_count(F.col(text_col), F.lit(regex)).alias("n_matches"),
+        ).where(F.col("n_matches") == 0)
+    out = _prefiltered(out, literal, text_col, ignore_case)
     return (
         out.select(
             F.col(id_col),
@@ -113,19 +159,62 @@ def grep_lines(
     pattern: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    literal_text: bool = False,
+    whole_word: bool = False,
+    ignore_case: bool = False,
+    invert: bool = False,
 ) -> DataFrame:
     """Line-level grep: (id, line_no, line) for matching lines — the CLI
-    output shape. Same literal cascade before the per-line regex."""
-    literal = extract_literal(pattern)
+    output shape. Same literal cascade before the per-line regex; option
+    flags as in grep_scan plus ``invert`` (grep -v: NON-matching lines —
+    the prefilter is skipped, absence can't be prefiltered)."""
+    regex, literal = _effective_pattern(pattern, literal_text, whole_word, ignore_case)
     out = docs
-    if len(literal) >= MIN_LITERAL_LENGTH:
-        out = out.where(F.contains(F.col(text_col), F.lit(literal)))
+    if not invert:
+        out = _prefiltered(out, literal, text_col, ignore_case)
     lines = out.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
     )
-    return lines.where(F.col("line").rlike(pattern)).select(
+    hit = F.col("line").rlike(regex)
+    return lines.where(~hit if invert else hit).select(
         F.col(id_col), (F.col("idx") + 1).alias("line_no"), "line"
+    )
+
+
+def grep_lines_context(
+    docs: DataFrame,
+    pattern: str,
+    before: int = 0,
+    after: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    literal_text: bool = False,
+    whole_word: bool = False,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """grep -B/-A/-C context lines (services.hpp:370-372): (id, line_no,
+    line, is_match) for matching lines plus up to ``before`` lines above
+    and ``after`` lines below each match. Line i is emitted when any match
+    exists in [i-after, i+before] — one window over the exploded lines,
+    partitioned per document (never a global sort); line numbers are
+    consecutive so the ROWS frame is exact."""
+    regex, literal = _effective_pattern(pattern, literal_text, whole_word, ignore_case)
+    out = _prefiltered(docs, literal, text_col, ignore_case)
+    lines = out.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    ).withColumn("is_match", F.col("line").rlike(regex))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("idx")
+        .rowsBetween(-max(0, after), max(0, before))
+    )
+    visible = F.max(F.col("is_match").cast("int")).over(w) == 1
+    return (
+        lines.withColumn("__vis", visible)
+        .where(F.col("__vis"))
+        .select(F.col(id_col), (F.col("idx") + 1).alias("line_no"), "line", "is_match")
     )
 
 
@@ -158,6 +247,83 @@ def snippet_expr(
         start + window - 1 < F.size(toks), F.lit(ellipsis)
     ).otherwise(F.lit(""))
     return F.when(pos > 0, F.concat(pre, body, post))
+
+
+def snippet_multi_expr(
+    tokens_col: Column | str,
+    terms: list[str],
+    window: int = 16,
+    open_tag: str = "<b>",
+    close_tag: str = "</b>",
+    ellipsis: str = "...",
+) -> Column:
+    """FTS5's real snippet window selection over ALL query terms
+    (search_ops.cpp:191; FTS5 snippet() scores candidate windows and picks
+    the one covering the most query phrases): candidate windows are
+    anchored at every term hit, scored by (distinct terms covered, total
+    hits in window), earliest window wins ties. Every in-window term
+    occurrence is wrapped; ellipses affixed where the window clips. Pure
+    Catalyst array ops — the scorer is an array_max over per-candidate
+    structs, reproducible in DuckDB list SQL. NULL when no term occurs."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    n = F.size(toks)
+    half = window // 2 - 1
+    # guard n = 0: sequence(1, 0) DESCENDS in Spark and element_at(_, 0)
+    # throws under ANSI — empty docs must yield an empty hit list instead
+    hitpos = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_contains(terms_arr, F.element_at(toks, i)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    max_start = F.greatest(n - window + 1, F.lit(1))
+    starts = F.array_distinct(
+        F.transform(
+            hitpos, lambda p: F.least(F.greatest(p - half, F.lit(1)), max_start)
+        )
+    )
+
+    def score(s):
+        win = F.slice(toks, s, window)
+        cov = F.size(F.array_intersect(F.array_distinct(win), terms_arr))
+        nh = F.size(F.filter(win, lambda t: F.array_contains(terms_arr, t)))
+        return F.struct(cov.alias("cov"), nh.alias("nh"), (-s).alias("negs"))
+
+    best = F.array_max(F.transform(starts, score))
+    s = -best["negs"]
+    snip = F.slice(toks, s, window)
+    marked = F.transform(
+        snip,
+        lambda t: F.when(
+            F.array_contains(terms_arr, t),
+            F.concat(F.lit(open_tag), t, F.lit(close_tag)),
+        ).otherwise(t),
+    )
+    body = F.concat_ws(" ", marked)
+    pre = F.when(s > 1, F.lit(ellipsis)).otherwise(F.lit(""))
+    post = F.when(s + window - 1 < n, F.lit(ellipsis)).otherwise(F.lit(""))
+    return F.when(F.size(hitpos) > 0, F.concat(pre, body, post))
+
+
+def with_snippets_multi(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """(id, snippet) using the multi-term best-coverage window — the
+    decoration column for multi-term queries (FTS5 snippet() contract)."""
+    toks = F.expr(
+        f"filter(split(lower(regexp_replace({text_col}, '[^0-9a-zA-Z]+', ' ')), ' '), "
+        "x -> x <> '')"
+    )
+    out = docs.select(
+        F.col(id_col), snippet_multi_expr(toks, terms, window).alias("snippet")
+    )
+    return out.where(F.col("snippet").isNotNull())
 
 
 def with_snippets(

@@ -18,10 +18,13 @@ from pyspark.sql import functions as F
 
 from yams_spark.operators.search import (
     bm25_scores,
+    build_positional_postings,
     build_posting_lists,
     fuse_evidence,
     global_rank,
     normalize_bm25,
+    parse_match_query,
+    phrase_match,
     topk_with_rescue,
 )
 
@@ -107,6 +110,9 @@ def hybrid_search(
     enable_cross_rerank: bool = False,
     rerank_top_n: int = 5,
     rerank_alpha: float = 0.30,
+    auto_phrase: bool = False,
+    hotzone_df: DataFrame | None = None,
+    hotzone_weight: float = 0.0,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
@@ -116,14 +122,30 @@ def hybrid_search(
     returns fewer than ``expansion_min_hits`` documents, the OR-retry fires
     (search_lexical_pipeline.cpp:246-290): up to 6 unique >=3-char tokens
     are re-queried disjunctively, the expanded-only hits join the candidate
-    pool with their normalized scores multiplied by the 0.65 penalty."""
+    pool with their normalized scores multiplied by the 0.65 penalty.
+
+    Double-quoted spans in ``query_text`` are FTS5 phrases: candidates must
+    contain the tokens adjacently in order, checked against the positional
+    posting index (search_query_helpers.cpp:356-384); ``auto_phrase=True``
+    additionally phrases unquoted 3-4 token natural-language queries whole,
+    like the reference's NL query builder. ``hotzone_df`` (key, boost)
+    applies the recency boost to fused scores before the final top-k:
+    score' = score · (1 + hotzone_weight · (boost - 1))
+    (enhanced_search_executor.cpp:101-110, hotzone_manager.h:15-59)."""
     import numpy as np
 
-    from yams_spark.functions.textnorm import tokenize_lower
-
-    terms = tokenize_lower(query_text)
+    parsed = parse_match_query(query_text, auto_phrase=auto_phrase)
+    phrases = [p for p in parsed["phrases"] if p]
+    terms = [t for p in phrases for t in p] + parsed["terms"]
     postings = build_posting_lists(docs, id_col, text_col)
     lex = bm25_scores(postings, terms, match_all=True)
+    multi_phrases = [p for p in phrases if len(p) >= 2]
+    if multi_phrases:
+        pos_postings = build_positional_postings(docs, id_col, text_col)
+        for ph in multi_phrases:
+            lex = lex.join(
+                phrase_match(pos_postings, ph).select("doc_id"), "doc_id", "left_semi"
+            )
     # FTS5 bm25 is negative-better; ours is positive-better → negate before
     # the reference's range normalization (lexical_scoring.cpp:18-43)
     lex = normalize_bm25(lex.withColumn("bm25", -F.col("bm25")))
@@ -186,6 +208,26 @@ def hybrid_search(
         )
 
     fused = fuse_evidence(components, weights=weights)
+    if hotzone_df is not None and hotzone_weight > 0.0:
+        # recency boost blend (enhanced_search_executor.cpp:101-110):
+        # score' = score * (1 + w * (boost - 1)); boost already saturates
+        # at max_boost (hotzone_manager.h:21), unknown keys boost 1.0
+        hz = hotzone_df.select(
+            F.col("key").cast("string").alias("doc_id"), F.col("boost")
+        )
+        fused = (
+            fused.join(hz, "doc_id", "left")
+            .withColumn(
+                "fused_score",
+                F.col("fused_score")
+                * (
+                    F.lit(1.0)
+                    + F.lit(float(hotzone_weight))
+                    * (F.coalesce(F.col("boost"), F.lit(1.0)) - F.lit(1.0))
+                ),
+            )
+            .drop("boost")
+        )
     head = topk_with_rescue(fused, limit=limit)
     if not enable_cross_rerank:
         return head

@@ -60,6 +60,93 @@ def build_posting_lists(docs: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def build_positional_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, positions array<int>, tf, dl): posting lists WITH
+    1-based token positions — the FTS5 positional index analog that phrase
+    queries need (FTS5 stores position lists per (term, doc) exactly so
+    ``"a b"`` can check adjacency). One tokenize + one groupBy(doc, term)
+    shuffle; positions sorted for deterministic downstream intersection."""
+    toks = F.expr(
+        f"filter(split(lower(regexp_replace({text_col}, '[^0-9a-zA-Z]+', ' ')), ' '), "
+        "x -> x <> '')"
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
+    d = d.withColumn("dl", F.size("tokens"))
+    exploded = d.select(
+        "doc_id", "dl", F.posexplode("tokens").alias("pos0", "term")
+    )
+    return (
+        exploded.groupBy("doc_id", "dl", "term")
+        .agg(
+            F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+            F.count("*").alias("tf"),
+        )
+    )
+
+
+def phrase_match(
+    positional_postings: DataFrame, phrase_terms: list[str]
+) -> DataFrame:
+    """FTS5 phrase semantics over the positional index: (doc_id,
+    n_occurrences) for documents where ``phrase_terms`` occur adjacently in
+    order (search_query_helpers.cpp:356-384 builds such quoted phrase
+    queries; FTS5 evaluates them by position-list intersection, which is
+    exactly this plan: one equi-join on doc_id per phrase term, the
+    surviving position set shifted by one each step — m-1 hash joins, no
+    token re-scan, no Python)."""
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    pp = positional_postings
+    cur = pp.where(F.col("term") == phrase_terms[0]).select(
+        "doc_id", F.col("positions").alias("__pos")
+    )
+    for t in phrase_terms[1:]:
+        nxt = pp.where(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("__next")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn(
+                "__pos",
+                F.array_intersect(
+                    F.transform(F.col("__pos"), lambda p: p + 1), F.col("__next")
+                ),
+            )
+            .where(F.size("__pos") > 0)
+            .drop("__next")
+        )
+    return cur.select("doc_id", F.size("__pos").alias("n_occurrences"))
+
+
+#: the reference auto-phrases natural-language queries of 3-4 tokens
+#: (search_query_helpers.cpp:363-371)
+AUTO_PHRASE_MIN_TOKENS = 3
+AUTO_PHRASE_MAX_TOKENS = 4
+
+
+def parse_match_query(query: str, auto_phrase: bool = True) -> dict:
+    """FTS5 MATCH query building (search_query_helpers.cpp:356-384):
+    double-quoted spans become explicit phrases; an unquoted natural-
+    language query of 3-4 tokens is auto-phrased whole; everything else is
+    implicit-AND terms. Returns {"phrases": [[t, ...], ...], "terms":
+    [t, ...]} with all tokens normalized by tokenize-lower."""
+    import re as _re
+
+    from yams_spark.functions.textnorm import tokenize_lower
+
+    phrases = [tokenize_lower(p) for p in _re.findall(r'"([^"]+)"', query)]
+    phrases = [p for p in phrases if p]
+    rest = _re.sub(r'"[^"]*"', " ", query)
+    terms = tokenize_lower(rest)
+    if (
+        auto_phrase
+        and not phrases
+        and AUTO_PHRASE_MIN_TOKENS <= len(terms) <= AUTO_PHRASE_MAX_TOKENS
+    ):
+        return {"phrases": [terms], "terms": []}
+    return {"phrases": phrases, "terms": terms}
+
+
 def bm25_scores(
     postings: DataFrame,
     query_terms: list[str],
