@@ -453,10 +453,25 @@ def split_oversized_components(
     larger than ``max_component_docs`` are re-grown greedily from the
     strongest edges into sub-components of at most that size. Returns
     (url, component) with oversized components relabeled
-    ``<component>#<i>`` (i in discovery order of seed edges, weight desc).
+    ``<component>#<i>`` (i in discovery order of seed edges, weight desc;
+    members no retained edge reaches become singleton sub-components
+    labeled ``<component>#s:<url>`` — unique without any coordination).
+
+    Bounded at any component size: the greedy grower can consume at most
+    cap²/2 edges (every accepted edge either grows a sub-component — at
+    most cap·(n/cap) = n placements — or is skipped because both ends are
+    settled; retaining more than the strongest cap²/2 per parent cannot
+    change which members a full sub-component ends up with), so each
+    parent's edge list is pre-truncated to the top cap²/2 by weight via a
+    window partitioned on the parent BEFORE the single collect_list —
+    a 10⁸-member boilerplate component packs at most ~cap²/2 structs into
+    one task, never its full member or edge set. Members left unassigned
+    are labeled as singleton sub-components distributively (row_number per
+    parent), not inside the packed task.
     """
     import pandas as pd
 
+    e_max = max(1, (max_component_docs * max_component_docs) // 2)
     sizes = labels.groupBy("component").agg(F.count("*").alias("n"))
     big = sizes.where(F.col("n") > max_component_docs).select("component")
     small = labels.join(big, "component", "left_anti")
@@ -465,24 +480,22 @@ def split_oversized_components(
     labels_for_pairs = big_members.select(
         F.col("url").alias("url_a"), F.col("component").alias("comp")
     )
+    ew = Window.partitionBy("comp").orderBy(
+        F.col("pair_score").desc(), F.col("url_a").asc(), F.col("url_b").asc()
+    )
     big_edges = (
         accepted_pairs.select("url_a", "url_b", "pair_score")
         .join(labels_for_pairs, "url_a")
+        .withColumn("__rk", F.row_number().over(ew))
+        .where(F.col("__rk") <= e_max)
         .groupBy("comp")
         .agg(F.collect_list(F.struct("url_a", "url_b", "pair_score")).alias("prs"))
-    )
-    packed = (
-        big_members.groupBy("component")
-        .agg(F.collect_list("url").alias("mems"))
-        .join(big_edges, F.col("component") == F.col("comp"), "left")
-        .select("component", "mems", "prs")
     )
 
     def split(iterator):
         for pdf in iterator:
             rows = []
-            for component, members, pairs in zip(pdf["component"], pdf["mems"], pdf["prs"]):
-                members = list(members)
+            for component, pairs in zip(pdf["comp"], pdf["prs"]):
                 edges = sorted(
                     (list(pairs) if pairs is not None else []),
                     key=lambda p: (-p["pair_score"], p["url_a"], p["url_b"]),
@@ -504,15 +517,23 @@ def split_oversized_components(
                     elif cb is None and ca is not None and sub_sizes[ca] < max_component_docs:
                         assigned[b] = ca
                         sub_sizes[ca] += 1
-                for u in members:
-                    if u not in assigned:
-                        sub = f"{component}#{idx}"
-                        idx += 1
-                        assigned[u] = sub
-                        sub_sizes[sub] = 1
-                    rows.append((u, assigned[u]))
+                for u, sub in assigned.items():
+                    rows.append((u, sub))
             if rows:
                 yield pd.DataFrame(rows, columns=["url", "component"])
 
-    split_labels = packed.mapInPandas(split, schema="url string, component string")
-    return small.unionByName(split_labels)
+    edge_assigned = big_edges.mapInPandas(
+        split, schema="url string, component string"
+    )
+    # members not reached by any retained edge become singleton
+    # sub-components; the url itself makes the label unique, so no
+    # numbering coordination (and no per-parent window that a mega-parent
+    # would turn into one hot partition) is needed — narrow anti-join only
+    singles = big_members.join(
+        edge_assigned.select("url"), "url", "left_anti"
+    ).select(
+        "url", F.concat(F.col("component"), F.lit("#s:"), F.col("url")).alias("component")
+    )
+    return small.unionByName(
+        edge_assigned.select("url", "component")
+    ).unionByName(singles)

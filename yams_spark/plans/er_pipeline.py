@@ -58,12 +58,37 @@ class PipelineConfig:
     #: blocking-key families (shared contract, operators/signatures.py)
     families: tuple[str, ...] = DEFAULT_FAMILIES
     chunk_cfg: ChunkingConfig = field(default_factory=lambda: PAGE_CHUNKING)
+    #: real-embedding-model seam (embedding_generator.cpp:386-407): a
+    #: picklable ``list[str] -> vectors`` batch callable; None keeps the
+    #: deterministic feature-hash stand-in the oracles share
+    embed_fn: object | None = None
     checkpoint_dir: str | None = None
     run_id: str = ""
 
     def __post_init__(self) -> None:
         if not self.run_id:
             self.run_id = uuid.uuid4().hex[:12]
+
+    @classmethod
+    def scale(cls, **overrides) -> "PipelineConfig":
+        """The 100-TB deployment profile in one switch.
+
+        Differences from the default (which preserves exact oracle
+        equality for the driver's correctness checks):
+
+        * ``max_component_docs=64`` — publish-side component cap
+          (topology_baseline.cpp:44-120): a boilerplate mega-component is
+          split before the packed publish instead of landing in one task.
+
+        Everything else already defends itself at scale by default
+        (block_cap salting, AQE skew handling, the 2M-edge driver-CC gate
+        re-checked per round). Session-level knobs that belong with this
+        profile — AQE on, advisoryPartitionSizeInBytes >= 8m, no raised
+        autoBroadcastJoinThreshold — live in ``yams_spark.session.get_spark``
+        and BENCH/BASELINE.md.
+        """
+        overrides.setdefault("max_component_docs", 64)
+        return cls(**overrides)
 
 
 def _stage_path(cfg: PipelineConfig, stage: str) -> str:
@@ -196,7 +221,7 @@ def run_pipeline(
     if _stage_done(cfg, "sign"):
         signatures = spark.read.parquet(_stage_path(cfg, "sign"))
     else:
-        signatures = signatures_stage(pages, cfg.chunk_cfg)
+        signatures = signatures_stage(pages, cfg.chunk_cfg, embed_fn=cfg.embed_fn)
         if cfg.checkpoint_dir is None:
             # several downstream branches (blocks, pair-feature joins,
             # cluster windows) would otherwise re-run the extraction UDF
