@@ -1306,6 +1306,28 @@ def er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_f1(labeled, out["members"].select("url", "group_key"))
 
 
+def er_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster topology metrics (topology_baseline.cpp:122-208):
+    cohesion / persistence / density / bridge_mass / medoid over the real
+    pipeline's accepted pairs. Rows-only (the packed metric computation is
+    not ANSI-SQL-expressible); pytest pins the math against hand-computed
+    values (test_cluster_metrics_hand_computed)."""
+    _ship_package(spark)
+    from yams_spark.operators.clustering import cluster_metrics
+
+    out = _er_outputs(spark, sf_dir)
+    accepted = out["scored_pairs"].where(F.col("accepted"))
+    m = cluster_metrics(out["signatures"], accepted)
+    return m.select(
+        "component", "member_count", "internal_edges",
+        F.round("cohesion", 6).alias("cohesion"),
+        F.round("persistence", 6).alias("persistence"),
+        F.round("density", 6).alias("density"),
+        F.round("bridge_mass", 6).alias("bridge_mass"),
+        "medoid_url",
+    )
+
+
 def er_neighbor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-neighbor graph (kg_edges analog, EmbeddingService.cpp:555-812):
     top-8 neighbors per page from the scored candidate pairs, symmetric,
@@ -1418,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_scored_pairs": er_scored_pairs,
         "er_blocks": er_blocks,
         "er_extraction": er_extraction,
+        "er_cluster_metrics": er_cluster_metrics,
         "er_eval": er_eval,
         "er_neighbor_edges": er_neighbor_edges,
         "search_hybrid": search_hybrid,

@@ -194,6 +194,8 @@ def main() -> None:
             "q19_cosine_topk", "q20_embedding_near_dup",
             "q31_ann_lsh_bucketed", "q32_grep_scan", "q36_doc_chunking",
             "q41_ngram_jaccard_dedup",
+            "q43_kg_doc_entities", "q44_kg_node_stats",
+            "q46_phrase_match", "q48_grep_context",
         ]:
             t0 = _time.time()
             qs[name](spark, sf_dir).count()
