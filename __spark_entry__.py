@@ -963,6 +963,50 @@ def q48_grep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "line", "is_match")
 
 
+def q49_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree snapshot Merkle nodes (tree_snapshots.tree_root_hash,
+    migration.cpp:1201-1213; git-style sorted-entry tree hashing,
+    tree_builder.cpp:22-110): every directory node's hash over the
+    deterministic /corpus/<source>/<lang>/<doc_id>.txt layout, bottom-up
+    — one keyed aggregation per tree level. The root is the path='' row."""
+    _ship_package(spark)
+    from yams_spark.operators.snapshots import merkle_tree
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("/corpus/"), F.col("source"), F.lit("/"), F.col("lang"),
+            F.lit("/"), F.col("doc_id"), F.lit(".txt"),
+        ).alias("path"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("file_hash"),
+    )
+    return merkle_tree(files).select("path", "node_hash", "n_entries")
+
+
+def q50_tree_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tree_diffs summary row (migration.cpp:1259-1273): files added /
+    deleted / modified / renamed / unchanged between two snapshot
+    listings; renames are the maximal per-hash pairing of deleted and
+    added paths (tree_differ.cpp:204-243) and are removed from the
+    add/delete counts."""
+    _ship_package(spark)
+    from yams_spark.operators.snapshots import tree_diff_summary
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 7 != 0).select(
+        F.concat(F.lit("/a/"), F.col("doc_id")).alias("p"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("h"),
+    )
+    target = d.where(F.col("doc_id") % 5 != 0).select(
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/b/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/a/"), F.col("doc_id"))).alias("p"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.sha2(F.encode(F.concat(F.col("text"), F.lit("!")), "UTF-8"), 256),
+        ).otherwise(F.sha2(F.encode("text", "UTF-8"), 256)).alias("h"),
+    )
+    return tree_diff_summary(base, target, path_col="p", hash_col="h")
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1431,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_phrase_match": q46_phrase_match,
         "q47_snippet_multiterm": q47_snippet_multiterm,
         "q48_grep_context": q48_grep_context,
+        "q49_merkle_tree": q49_merkle_tree,
+        "q50_tree_diff_summary": q50_tree_diff_summary,
         "ann_pq_adc": ann_pq_adc,
         "media_features": media_features,
         "er_mini": er_mini,
@@ -2258,6 +2304,91 @@ def oracle_sql() -> dict[str, str]:
                 FROM m)
             SELECT doc_id, CAST(line_no AS INTEGER) AS line_no, line, is_match
             FROM v WHERE vis = 1
+        """,
+        "q49_merkle_tree": """
+            WITH f AS (
+                SELECT '/corpus/' || source || '/' || lang AS parent,
+                       doc_id || '.txt' AS name, sha256(text) AS h
+                FROM documents),
+            d3 AS (
+                SELECT parent AS path,
+                       sha256(string_agg('100644 ' || name || chr(9) || h,
+                                         chr(10) ORDER BY name)) AS node_hash,
+                       COUNT(*) AS n_entries
+                FROM f GROUP BY parent),
+            e2 AS (
+                SELECT regexp_replace(path, '/[^/]*$', '') AS parent,
+                       split_part(path, '/', -1) AS name, node_hash AS h
+                FROM d3),
+            d2 AS (
+                SELECT parent AS path,
+                       sha256(string_agg('40000 ' || name || chr(9) || h,
+                                         chr(10) ORDER BY name)) AS node_hash,
+                       COUNT(*) AS n_entries
+                FROM e2 GROUP BY parent),
+            e1 AS (
+                SELECT regexp_replace(path, '/[^/]*$', '') AS parent,
+                       split_part(path, '/', -1) AS name, node_hash AS h
+                FROM d2),
+            d1 AS (
+                SELECT parent AS path,
+                       sha256(string_agg('40000 ' || name || chr(9) || h,
+                                         chr(10) ORDER BY name)) AS node_hash,
+                       COUNT(*) AS n_entries
+                FROM e1 GROUP BY parent),
+            e0 AS (
+                SELECT regexp_replace(path, '/[^/]*$', '') AS parent,
+                       split_part(path, '/', -1) AS name, node_hash AS h
+                FROM d1),
+            d0 AS (
+                SELECT parent AS path,
+                       sha256(string_agg('40000 ' || name || chr(9) || h,
+                                         chr(10) ORDER BY name)) AS node_hash,
+                       COUNT(*) AS n_entries
+                FROM e0 GROUP BY parent)
+            SELECT path, node_hash, n_entries FROM d3
+            UNION ALL SELECT * FROM d2
+            UNION ALL SELECT * FROM d1
+            UNION ALL SELECT * FROM d0
+        """,
+        "q50_tree_diff_summary": """
+            WITH base AS (
+                SELECT '/a/' || doc_id AS p, sha256(text) AS h
+                FROM documents WHERE doc_id % 7 <> 0),
+            target AS (
+                SELECT CASE WHEN doc_id % 4 = 0 THEN '/b/' || doc_id
+                            ELSE '/a/' || doc_id END AS p,
+                       CASE WHEN doc_id % 3 = 0 THEN sha256(text || '!')
+                            ELSE sha256(text) END AS h
+                FROM documents WHERE doc_id % 5 <> 0),
+            j AS (
+                SELECT COALESCE(base.p, target.p) AS p, base.h AS bh,
+                       target.h AS th
+                FROM base FULL OUTER JOIN target ON base.p = target.p),
+            s AS (
+                SELECT *, CASE WHEN bh IS NULL THEN 'added'
+                               WHEN th IS NULL THEN 'deleted'
+                               WHEN bh <> th THEN 'modified'
+                               ELSE 'unchanged' END AS status
+                FROM j),
+            dels AS (SELECT bh AS h, COUNT(*) AS nd FROM s
+                     WHERE status = 'deleted' GROUP BY bh),
+            adds AS (SELECT th AS h, COUNT(*) AS na FROM s
+                     WHERE status = 'added' GROUP BY th),
+            r AS (SELECT COALESCE(SUM(LEAST(nd, na)), 0) AS files_renamed
+                  FROM dels JOIN adds USING (h)),
+            c AS (
+                SELECT SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS raw_added,
+                       SUM(CASE WHEN status = 'deleted' THEN 1 ELSE 0 END) AS raw_deleted,
+                       SUM(CASE WHEN status = 'modified' THEN 1 ELSE 0 END) AS files_modified,
+                       SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS files_unchanged
+                FROM s)
+            SELECT CAST(raw_added - files_renamed AS BIGINT) AS files_added,
+                   CAST(raw_deleted - files_renamed AS BIGINT) AS files_deleted,
+                   CAST(files_modified AS BIGINT) AS files_modified,
+                   CAST(files_renamed AS BIGINT) AS files_renamed,
+                   CAST(files_unchanged AS BIGINT) AS files_unchanged
+            FROM c CROSS JOIN r
         """,
         "er_mini_members": """
             WITH pages AS (
