@@ -284,3 +284,21 @@ def test_resolve_documents_cascade(spark) -> None:
     assert token_salience("ab") == pytest.approx(0.05)
     cands = expansion_candidates(["shows", "42", "retrieval2024", "cat"])
     assert [c[0] for c in cands] == ["retrieval2024", "cat"]  # weak+numeric dropped
+
+
+def test_resolve_cascade_cheap_path_no_scan(spark) -> None:
+    """Round-3 cascade rework: queries that hit levels 1-2 resolve through
+    membership filters only — the returned plan contains no cartesian
+    fallback scan; misses still reach suffix/hash via the scan pass."""
+    from yams_spark.operators.resolve import resolve_documents
+
+    docs = spark.createDataFrame(
+        [("/a/f.txt", "aaaa11112222", 1), ("/b/g.txt", "bbbb33334444", 2)],
+        "path string, doc_hash string, warc_ts long",
+    )
+    out = resolve_documents(docs, ["/a/f.txt", "g.txt"])
+    rows = {r["query"]: r for r in out.collect()}
+    assert rows["/a/f.txt"]["matched_via"] == "exact_path"
+    assert rows["g.txt"]["matched_via"] == "basename"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
