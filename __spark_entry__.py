@@ -909,6 +909,27 @@ def q45_kg_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_kg_node_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG population stage 4 — kg_node_embeddings (migration.cpp:903-910):
+    one vector per entity node as the mean embedding of its mentioning
+    documents (document-centroid stand-in for the reference's node
+    embedding service), exploded to scalar rows for the cross-engine
+    hash like q34."""
+    _ship_package(spark)
+    from yams_spark.operators.kg import build_kg_node_embeddings, extract_doc_entities
+
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    e = _t(spark, sf_dir, "embeddings")
+    out = build_kg_node_embeddings(ents, e)
+    return out.select(
+        "node_key", "dim", "n_docs", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "node_key", F.col("dim").cast("int").alias("dim"), "n_docs",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("val", 6).cast("double").alias("val"),
+    )
+
+
 def q46_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FTS5 phrase query over the positional posting index
     (search_query_helpers.cpp:356-384; FTS5 evaluates quoted phrases by
@@ -1005,6 +1026,81 @@ def q50_tree_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.sha2(F.encode("text", "UTF-8"), 256)).alias("h"),
     )
     return tree_diff_summary(base, target, path_col="p", hash_col="h")
+
+
+def q51_hotzone_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotzone → fusion wiring, oracle-checked end-to-end: the q22
+    weighted-RRF evidence fusion boosted by the real hotzone decay scores
+    (score' = fused · (1 + w·(boost−1)), enhanced_search_executor.cpp:
+    101-110) through the shared ``apply_hotzone_boost`` operator — the
+    same code path hybrid_search uses. Documents whose id matches a
+    recently-active user key outrank their cold twins."""
+    _ship_package(spark)
+    from yams_spark.operators.search import (
+        apply_hotzone_boost,
+        fuse_evidence,
+        global_rank,
+    )
+    from yams_spark.streaming.hotzone import hotzone_batch
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    r1 = global_rank(d, [F.col("n_chars").desc(), F.col("doc_id").asc()], "rank1")
+    r2 = global_rank(
+        d, [F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).asc()], "rank2"
+    )
+    text = r1.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("text").alias("source"),
+        F.least(F.col("n_chars") / F.lit(600.0), F.lit(1.0)).alias("score"),
+        (F.col("rank1") - 1).alias("rank"),
+    )
+    vec = r2.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("vector").alias("source"),
+        F.lit(0.5).alias("score"),
+        (F.col("rank2") - 1).alias("rank"),
+    )
+    fused = fuse_evidence(text.unionByName(vec))
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value") > 0)
+        .groupBy(F.col("user_id").cast("string").alias("key"), "ts")
+        .agg(F.max("value").alias("weight"))
+    )
+    hz = hotzone_batch(ev, key_col="key", ts_col="ts", weight_col="weight")
+    boosted = apply_hotzone_boost(fused, hz, weight=0.5)
+    return (
+        boosted.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("fused_score", 8).cast("double").alias("boosted_score"),
+        )
+        .orderBy(F.col("boosted_score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
+def q52_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 prefix-term query (renderFts5Token 'tok*',
+    search_query_helpers.cpp:377-380): BM25 over the exact term 'stream'
+    AND the prefix term 'tab*' — the prefix behaves as one query term
+    whose tf sums every matching vocabulary term and whose df counts
+    documents containing any of them, exactly FTS5's prefix index."""
+    _ship_package(spark)
+    from yams_spark.operators.search import bm25_scores, build_posting_lists
+
+    d = _t(spark, sf_dir, "documents")
+    postings = build_posting_lists(d, "doc_id", "text")
+    out = bm25_scores(
+        postings, ["stream"], match_all=True, prefix_terms=["tab"]
+    )
+    return (
+        out.select(
+            "doc_id", F.round("bm25", 6).cast("double").alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
 
 
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,6 +1573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_grep_context": q48_grep_context,
         "q49_merkle_tree": q49_merkle_tree,
         "q50_tree_diff_summary": q50_tree_diff_summary,
+        "q51_hotzone_fusion": q51_hotzone_fusion,
+        "q52_prefix_match": q52_prefix_match,
+        "q53_kg_node_embeddings": q53_kg_node_embeddings,
         "ann_pq_adc": ann_pq_adc,
         "media_features": media_features,
         "er_mini": er_mini,
@@ -2389,6 +2488,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST(files_renamed AS BIGINT) AS files_renamed,
                    CAST(files_unchanged AS BIGINT) AS files_unchanged
             FROM c CROSS JOIN r
+        """,
+        "q51_hotzone_fusion": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents),
+            ranked AS (
+                SELECT doc_id,
+                       LEAST(n_chars / 600.0, 1.0) AS raw1,
+                       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank1,
+                       ROW_NUMBER() OVER (ORDER BY sha256(CAST(doc_id AS VARCHAR)) ASC) - 1 AS rank2
+                FROM d),
+            fused AS (
+                SELECT doc_id,
+                       0.70 * (1.0 / (12.0 + rank1 + 1.0)) * (1.0 + 0.5 * LEAST(GREATEST(raw1, 0.0), 1.0))
+                     + 0.30 * (1.0 / (12.0 + rank2 + 1.0)) * (1.0 + 0.5 * 0.5)
+                           AS fused_score
+                FROM ranked),
+            e AS (
+                SELECT user_id AS key, ts, MAX(value) AS w
+                FROM events WHERE value > 0 GROUP BY user_id, ts),
+            steps AS (
+                SELECT key, ts, w,
+                       GREATEST(CAST(floor(epoch(ts - lag(ts) OVER
+                           (PARTITION BY key ORDER BY ts)) / 60.0) AS BIGINT),
+                           0) AS step_min
+                FROM e),
+            aftr AS (
+                SELECT key, ts, w,
+                       COALESCE(SUM(step_min) OVER (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                           0) AS after_min
+                FROM steps),
+            hz AS (
+                SELECT key,
+                       LEAST(GREATEST(
+                           1.0 + 1.0 * LEAST(GREATEST(
+                               (1.0 - exp(-SUM(w * pow(0.5, after_min / 1440.0))))
+                               / (1.0 - exp(-1.0)), 0.0), 1.0),
+                           1.0), 2.0) AS boost
+                FROM aftr GROUP BY key),
+            boosted AS (
+                SELECT fused.doc_id,
+                       fused.fused_score
+                       * (1.0 + 0.5 * (COALESCE(hz.boost, 1.0) - 1.0)) AS s
+                FROM fused LEFT JOIN hz ON CAST(fused.doc_id AS VARCHAR)
+                                           = CAST(hz.key AS VARCHAR))
+            SELECT doc_id, CAST(ROUND(s, 8) AS DOUBLE) AS boosted_score
+            FROM boosted ORDER BY boosted_score DESC, doc_id ASC LIMIT 30
+        """,
+        "q52_prefix_match": f"""
+            WITH d AS (
+                SELECT doc_id, CAST(len({tok}) AS DOUBLE) AS dl,
+                       {tok} AS tokens
+                FROM documents),
+            corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+            ex AS (SELECT doc_id, dl, unnest(tokens) AS term FROM d),
+            tfe AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf FROM ex
+                WHERE term = 'stream' GROUP BY doc_id, dl, term),
+            tfp AS (
+                SELECT doc_id, dl, 'tab*' AS term, COUNT(*) AS tf FROM ex
+                WHERE term LIKE 'tab%' GROUP BY doc_id, dl),
+            tf AS (SELECT * FROM tfe UNION ALL SELECT * FROM tfp),
+            fullm AS (
+                SELECT doc_id FROM tf GROUP BY doc_id
+                HAVING COUNT(DISTINCT term) = 2),
+            tff AS (SELECT tf.* FROM tf JOIN fullm USING (doc_id)),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tff GROUP BY term)
+            SELECT doc_id,
+                   CAST(ROUND(SUM(
+                       ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * tff.tf * 2.2
+                       / (tff.tf + 1.2 * (0.25 + 0.75 * tff.dl / corpus.avgdl))
+                   ), 6) AS DOUBLE) AS bm25
+            FROM tff JOIN df USING (term) CROSS JOIN corpus
+            GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+        """,
+        "q53_kg_node_embeddings": f"""
+            WITH p AS (
+                SELECT doc_id, {_KG_CAP_DUCK} AS ptext FROM documents),
+            m AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(ptext, '{_KG_PATTERN_DUCK}')) AS e
+                FROM p),
+            pairs AS (
+                SELECT DISTINCT 'nl_entity:span:' || lower(e) AS node_key, doc_id
+                FROM m WHERE length(e) >= 3),
+            je AS (
+                SELECT pairs.node_key, emb.embedding
+                FROM pairs JOIN embeddings emb ON emb.vec_id = pairs.doc_id),
+            counts AS (
+                SELECT node_key, COUNT(*) AS n_docs FROM je GROUP BY node_key),
+            dims AS (
+                SELECT node_key,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM je),
+            avgd AS (
+                SELECT node_key, pos, AVG(val) AS avg_val
+                FROM dims GROUP BY node_key, pos),
+            dd AS (SELECT node_key, COUNT(*) AS dim FROM avgd GROUP BY node_key)
+            SELECT avgd.node_key, CAST(dd.dim AS INTEGER) AS dim,
+                   counts.n_docs, avgd.pos,
+                   CAST(ROUND(avg_val, 6) AS DOUBLE) AS val
+            FROM avgd JOIN dd USING (node_key) JOIN counts USING (node_key)
         """,
         "er_mini_members": """
             WITH pages AS (

@@ -116,3 +116,34 @@ def test_populate_kg_surface(spark) -> None:
     }
     assert out["kg_doc_entities"].count() > 0
     assert out["kg_node_stats"].where(F.col("pagerank").isNull()).count() == 0
+
+
+def test_kg_node_embeddings_centroid(spark) -> None:
+    """kg_node_embeddings = mean embedding of mentioning documents
+    (migration.cpp:903-910; document-centroid stand-in)."""
+    from yams_spark.operators.kg import build_kg_node_embeddings
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha Beta here"), (2, "Alpha Beta again, twice Alpha Beta"),
+         (3, "Solo Entity")],
+        "doc_id long, text string",
+    )
+    ents = extract_doc_entities(docs)
+    embs = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (2, [5.0, 7.0]), (3, [9.0, 11.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["node_key"]: r for r in build_kg_node_embeddings(ents, embs).collect()}
+    # mentioned in docs 1 and 2 -> mean of their embeddings; repeated
+    # mentions inside doc 2 do not double-weight it (distinct doc join)
+    a = out["nl_entity:span:alpha beta"]
+    assert a["n_docs"] == 2 and a["dim"] == 2
+    assert a["embedding"] == [3.0, 5.0]
+    # single-doc entity gets its doc's embedding verbatim
+    solo = out["nl_entity:span:solo entity"]
+    assert solo["n_docs"] == 1 and solo["embedding"] == [9.0, 11.0]
+    # populate_kg exposes the table when embeddings are supplied
+    from yams_spark.operators.kg import populate_kg
+
+    full = populate_kg(docs, pagerank_iters=2, doc_embeddings=embs)
+    assert "kg_node_embeddings" in full and full["kg_node_embeddings"].count() > 0

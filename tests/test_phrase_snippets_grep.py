@@ -68,14 +68,23 @@ def test_phrase_match_adjacency(spark) -> None:
 
 def test_parse_match_query() -> None:
     p = parse_match_query('find "table scan" fast')
-    assert p == {"phrases": [["table", "scan"]], "terms": ["find", "fast"]}
+    assert p == {"phrases": [["table", "scan"]], "terms": ["find", "fast"],
+                 "prefix_terms": []}
     # 3-4 token NL query auto-phrases when enabled (search_query_helpers)
     assert parse_match_query("big table scan", auto_phrase=True) == {
-        "phrases": [["big", "table", "scan"]], "terms": []}
+        "phrases": [["big", "table", "scan"]], "terms": [], "prefix_terms": []}
     assert parse_match_query("big table scan", auto_phrase=False) == {
-        "phrases": [], "terms": ["big", "table", "scan"]}
+        "phrases": [], "terms": ["big", "table", "scan"], "prefix_terms": []}
     # 5 tokens: never auto-phrased
     assert parse_match_query("one two three four five", auto_phrase=True)["phrases"] == []
+    # explicit FTS5 prefix terms: 'tok*'
+    p2 = parse_match_query("stream tab*", auto_phrase=True)
+    assert p2 == {"phrases": [], "terms": ["stream"], "prefix_terms": ["tab"]}
+    # auto_prefix promotes >= 4-char tokens like renderFts5Token
+    p3 = parse_match_query("one streaming queries go", auto_phrase=False,
+                           auto_prefix=True)
+    assert p3["terms"] == ["one", "go"]
+    assert p3["prefix_terms"] == ["streaming", "queries"]
 
 
 def test_hybrid_search_phrase_restricts(spark) -> None:

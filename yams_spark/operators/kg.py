@@ -224,6 +224,47 @@ def build_kg_edges(doc_entities: DataFrame) -> DataFrame:
     )
 
 
+def build_kg_node_embeddings(
+    doc_entities: DataFrame,
+    doc_embeddings: DataFrame,
+    doc_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kg_node_embeddings (migration.cpp:903-910): one vector per entity
+    node — the mean embedding of the documents mentioning it (the
+    reference embeds node content through its embedding service; the
+    document-centroid is the deterministic stand-in, same policy as the
+    feature-hash embedding). Plan shape is the path-tree centroid's:
+    posexplode → groupBy(node, pos) mean → re-assemble sorted, O(1) in
+    dimensionality with map-side combine. Returns (node_key, dim,
+    embedding, n_docs)."""
+    pairs = (
+        doc_entities.select("node_key", "document_id")
+        .distinct()
+        .join(
+            doc_embeddings.select(
+                F.col(doc_id_col).alias("document_id"), F.col(vec_col).alias("emb")
+            ),
+            "document_id",
+        )
+    )
+    counts = pairs.groupBy("node_key").agg(F.count("*").alias("n_docs"))
+    dims = (
+        pairs.select("node_key", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("node_key", "pos")
+        .agg(F.avg("val").alias("avg_val"))
+    )
+    vecs = dims.groupBy("node_key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("avg_val")))),
+            lambda s: s["avg_val"],
+        ).alias("embedding")
+    )
+    return counts.join(vecs, "node_key").select(
+        "node_key", F.size("embedding").alias("dim"), "embedding", "n_docs"
+    )
+
+
 def kg_node_stats(
     edges: DataFrame, pagerank_iters: int = 20, damping: float = 0.85
 ) -> DataFrame:
@@ -253,17 +294,22 @@ def populate_kg(
     id_col: str = "doc_id",
     text_col: str = "text",
     pagerank_iters: int = 20,
+    doc_embeddings: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The whole PostIngestQueue KG stage in one call: returns
-    {kg_doc_entities, kg_nodes, kg_aliases, kg_edges, kg_node_stats}.
+    {kg_doc_entities, kg_nodes, kg_aliases, kg_edges, kg_node_stats}, plus
+    kg_node_embeddings when a (vec_id, embedding) table is supplied.
     The mentions table feeds every downstream table, so callers running
     more than one output should persist it."""
     ents = extract_doc_entities(docs, id_col, text_col)
     edges = build_kg_edges(ents)
-    return {
+    out = {
         "kg_doc_entities": ents,
         "kg_nodes": build_kg_nodes(ents),
         "kg_aliases": build_kg_aliases(ents),
         "kg_edges": edges,
         "kg_node_stats": kg_node_stats(edges, pagerank_iters=pagerank_iters),
     }
+    if doc_embeddings is not None:
+        out["kg_node_embeddings"] = build_kg_node_embeddings(ents, doc_embeddings)
+    return out

@@ -138,7 +138,9 @@ def hybrid_search(
     phrases = [p for p in parsed["phrases"] if p]
     terms = [t for p in phrases for t in p] + parsed["terms"]
     postings = build_posting_lists(docs, id_col, text_col)
-    lex = bm25_scores(postings, terms, match_all=True)
+    lex = bm25_scores(
+        postings, terms, match_all=True, prefix_terms=parsed["prefix_terms"]
+    )
     multi_phrases = [p for p in phrases if len(p) >= 2]
     if multi_phrases:
         pos_postings = build_positional_postings(docs, id_col, text_col)
@@ -209,25 +211,9 @@ def hybrid_search(
 
     fused = fuse_evidence(components, weights=weights)
     if hotzone_df is not None and hotzone_weight > 0.0:
-        # recency boost blend (enhanced_search_executor.cpp:101-110):
-        # score' = score * (1 + w * (boost - 1)); boost already saturates
-        # at max_boost (hotzone_manager.h:21), unknown keys boost 1.0
-        hz = hotzone_df.select(
-            F.col("key").cast("string").alias("doc_id"), F.col("boost")
-        )
-        fused = (
-            fused.join(hz, "doc_id", "left")
-            .withColumn(
-                "fused_score",
-                F.col("fused_score")
-                * (
-                    F.lit(1.0)
-                    + F.lit(float(hotzone_weight))
-                    * (F.coalesce(F.col("boost"), F.lit(1.0)) - F.lit(1.0))
-                ),
-            )
-            .drop("boost")
-        )
+        from yams_spark.operators.search import apply_hotzone_boost
+
+        fused = apply_hotzone_boost(fused, hotzone_df, hotzone_weight)
     head = topk_with_rescue(fused, limit=limit)
     if not enable_cross_rerank:
         return head

@@ -124,12 +124,22 @@ AUTO_PHRASE_MIN_TOKENS = 3
 AUTO_PHRASE_MAX_TOKENS = 4
 
 
-def parse_match_query(query: str, auto_phrase: bool = True) -> dict:
+#: the reference prefix-renders tokens of >= 4 chars under autoPrefix
+#: (search_query_helpers.cpp:377-380, renderFts5Token)
+AUTO_PREFIX_MIN_CHARS = 4
+
+
+def parse_match_query(
+    query: str, auto_phrase: bool = True, auto_prefix: bool = False
+) -> dict:
     """FTS5 MATCH query building (search_query_helpers.cpp:356-384):
     double-quoted spans become explicit phrases; an unquoted natural-
-    language query of 3-4 tokens is auto-phrased whole; everything else is
-    implicit-AND terms. Returns {"phrases": [[t, ...], ...], "terms":
-    [t, ...]} with all tokens normalized by tokenize-lower."""
+    language query of 3-4 tokens is auto-phrased whole; a token written
+    ``tok*`` is an explicit FTS5 prefix term, and ``auto_phrase``-skipped
+    queries under ``auto_prefix=True`` prefix-render every token of >= 4
+    chars like the reference's NL builder. Returns {"phrases": [[t, ...],
+    ...], "terms": [t, ...], "prefix_terms": [stem, ...]} with all tokens
+    normalized by tokenize-lower."""
     import re as _re
 
     from yams_spark.functions.textnorm import tokenize_lower
@@ -137,14 +147,30 @@ def parse_match_query(query: str, auto_phrase: bool = True) -> dict:
     phrases = [tokenize_lower(p) for p in _re.findall(r'"([^"]+)"', query)]
     phrases = [p for p in phrases if p]
     rest = _re.sub(r'"[^"]*"', " ", query)
-    terms = tokenize_lower(rest)
+    terms: list[str] = []
+    prefix_terms: list[str] = []
+    for raw in rest.split():
+        is_prefix = raw.endswith("*")
+        toks = tokenize_lower(raw[:-1] if is_prefix else raw)
+        if not toks:
+            continue
+        if is_prefix:
+            terms.extend(toks[:-1])
+            prefix_terms.append(toks[-1])
+        else:
+            terms.extend(toks)
     if (
         auto_phrase
         and not phrases
+        and not prefix_terms
         and AUTO_PHRASE_MIN_TOKENS <= len(terms) <= AUTO_PHRASE_MAX_TOKENS
     ):
-        return {"phrases": [terms], "terms": []}
-    return {"phrases": phrases, "terms": terms}
+        return {"phrases": [terms], "terms": [], "prefix_terms": []}
+    if auto_prefix:
+        promoted = [t for t in terms if len(t) >= AUTO_PREFIX_MIN_CHARS]
+        terms = [t for t in terms if len(t) < AUTO_PREFIX_MIN_CHARS]
+        prefix_terms = prefix_terms + promoted
+    return {"phrases": phrases, "terms": terms, "prefix_terms": prefix_terms}
 
 
 def bm25_scores(
@@ -153,18 +179,36 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     match_all: bool = False,
+    prefix_terms: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, bm25) from posting statistics. ``match_all=False`` is the
     disjunctive (OR) query; ``match_all=True`` keeps only documents
     containing every distinct query term — FTS5 MATCH's implicit-AND
-    semantics, the base mode of the reference's lexical pipeline."""
+    semantics, the base mode of the reference's lexical pipeline.
+
+    ``prefix_terms`` are FTS5 ``stem*`` prefix terms (renderFts5Token,
+    search_query_helpers.cpp:377-380): each behaves as ONE query term
+    whose per-document tf is the total count of vocabulary terms starting
+    with the stem, and whose document frequency is the count of documents
+    containing any of them — exactly FTS5's prefix-index semantics."""
+    prefix_terms = list(dict.fromkeys(prefix_terms or []))
     stats = postings.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-    tf = postings.where(F.col("term").isin(query_terms))
+    tf = postings.where(F.col("term").isin(query_terms)).select(
+        "doc_id", "dl", "term", "tf"
+    )
+    for stem in prefix_terms:
+        p = (
+            postings.where(F.col("term").startswith(stem))
+            .groupBy("doc_id", "dl")
+            .agg(F.sum("tf").alias("tf"))
+            .select("doc_id", "dl", F.lit(stem + "*").alias("term"), "tf")
+        )
+        tf = tf.unionByName(p)
     if match_all:
-        n_terms = len(set(query_terms))
+        n_terms = len(set(query_terms)) + len(prefix_terms)
         full = (
             tf.groupBy("doc_id")
             .agg(F.countDistinct("term").alias("nt"))
@@ -295,6 +339,38 @@ def fuse_evidence(
             .drop("floor")
         )
     return fused
+
+
+def apply_hotzone_boost(
+    fused: DataFrame,
+    hotzone_df: DataFrame,
+    weight: float,
+    id_col: str = "doc_id",
+    score_col: str = "fused_score",
+    key_col: str = "key",
+    boost_col: str = "boost",
+) -> DataFrame:
+    """Recency boost blend (enhanced_search_executor.cpp:101-110):
+    score' = score · (1 + weight · (boost − 1)); boost already saturates
+    at the hotzone max (hotzone_manager.h:21) and unknown keys boost 1.0.
+    One left equi-join on the doc key — the hotzone table is per-document
+    state, so this is an ordinary keyed join at any scale."""
+    hz = hotzone_df.select(
+        F.col(key_col).cast("string").alias(id_col), F.col(boost_col).alias("__boost")
+    )
+    return (
+        fused.join(hz, id_col, "left")
+        .withColumn(
+            score_col,
+            F.col(score_col)
+            * (
+                F.lit(1.0)
+                + F.lit(float(weight))
+                * (F.coalesce(F.col("__boost"), F.lit(1.0)) - F.lit(1.0))
+            ),
+        )
+        .drop("__boost")
+    )
 
 
 def global_rank(
