@@ -1468,6 +1468,22 @@ def er_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale SimHash blocking: multi-probe band tables + popcount
+    Hamming verify over the pipeline's real simhash64 signatures
+    (max_hamming 7 engages the 1-bit probes; recall guaranteed by
+    pigeonhole, see blocking.simhash_multiprobe_pairs). Rows-only — the
+    BLAKE2-backed simhash is not SQL-expressible; pytest verifies pair
+    sets against brute-force Hamming."""
+    _ship_package(spark)
+    from yams_spark.operators.blocking import simhash_multiprobe_pairs
+
+    sig = _er_outputs(spark, sf_dir)["signatures"]
+    return simhash_multiprobe_pairs(sig, max_hamming=7).select(
+        F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"), "hamming"
+    )
+
+
 def er_neighbor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-neighbor graph (kg_edges analog, EmbeddingService.cpp:555-812):
     top-8 neighbors per page from the scored candidate pairs, symmetric,
@@ -1586,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocks": er_blocks,
         "er_extraction": er_extraction,
         "er_cluster_metrics": er_cluster_metrics,
+        "simhash_multiprobe": simhash_multiprobe,
         "er_eval": er_eval,
         "er_neighbor_edges": er_neighbor_edges,
         "search_hybrid": search_hybrid,

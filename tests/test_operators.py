@@ -424,3 +424,50 @@ def test_split_oversized_bounded_pack(spark) -> None:
     assert sizes["C#0"] == 64
     singles = [c for c in sizes if c.startswith("C#s:")]
     assert len(singles) == n + 1 - 64 and all(sizes[c] == 1 for c in singles)
+
+
+def test_simhash_multiprobe_pairs(spark) -> None:
+    """Multi-probe SimHash blocker: pair sets equal brute-force Hamming at
+    both the exact-band regime (k < n_bands) and the 1-bit-probe regime
+    (n_bands <= k <= 2*n_bands-1); beyond the guarantee it raises."""
+    import itertools
+
+    from yams_spark.operators.blocking import simhash_multiprobe_pairs
+
+    base = 0x0123456789ABCDEF
+    def flip(v, bits):
+        for b in bits:
+            v ^= 1 << b
+        return v
+
+    sims = {
+        "a0": base,
+        "a1": flip(base, [3]),                      # hamming 1 from a0
+        "a3": flip(base, [3, 20, 40]),              # hamming 3
+        "a7": flip(base, [1, 9, 17, 25, 33, 41, 49]),  # hamming 7 (all bands hit)
+        "a8": flip(base, [1, 9, 17, 25, 33, 41, 49, 57]),  # hamming 8
+        "far": 0x7EDCBA9876543210,
+    }
+    df = spark.createDataFrame(list(sims.items()), "url string, simhash64 long")
+
+    def brute(k):
+        return {
+            tuple(sorted((x, y)))
+            for x, y in itertools.combinations(sims, 2)
+            if bin(sims[x] ^ sims[y]).count("1") <= k
+        }
+
+    for k in (3, 7):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_multiprobe_pairs(df, max_hamming=k).collect()
+        }
+        assert got == brute(k), f"k={k}"
+    # hamming values reported correctly
+    h = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_multiprobe_pairs(df, max_hamming=7).collect()
+    }
+    assert h[("a0", "a1")] == 1 and h[("a0", "a7")] == 7
+    with pytest.raises(ValueError, match="multi-probe recall"):
+        simhash_multiprobe_pairs(df, max_hamming=8)

@@ -312,3 +312,48 @@ def test_embed_fn_seam(spark) -> None:
     for url, _, html, _, _ in rows:
         want = np.asarray(compute_signature_row(url, html)["embedding"], dtype=np.float32)
         assert np.array_equal(np.asarray(default[url], dtype=np.float32), want)
+
+
+def test_kg_stage_in_pipeline(spark, tmp_path) -> None:
+    """PipelineConfig(build_kg=True): the KG-population stage runs at the
+    PostIngestQueue stage position, commits per-table checkpoints +
+    lineage rows, and resumes like any stage."""
+    import pandas as pd
+
+    rows = [
+        {
+            "url": f"https://kg.example/p{i}",
+            "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+            "html": (
+                "<html><title>Entity Page</title><body><p>"
+                f"Alpha Beta visited New York City chapter {i} today"
+                "</p></body></html>"
+            ).encode(),
+            "text": None,
+            "lang": "en",
+        }
+        for i in range(6)
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["text"] = None
+    pages = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    ckpt = str(tmp_path / "ck_kg")
+    cfg = PipelineConfig(checkpoint_dir=ckpt, build_kg=True, kg_pagerank_iters=2)
+    out = run_pipeline(spark, pages, cfg)
+    for t in ("kg_doc_entities", "kg_nodes", "kg_aliases", "kg_edges",
+              "kg_node_stats", "kg_node_embeddings"):
+        assert t in out, t
+    ents = {r["entity_text"] for r in out["kg_doc_entities"].collect()}
+    assert "Alpha Beta" in ents and "New York City" in ents
+    assert out["kg_node_stats"].where("pagerank IS NULL").count() == 0
+    # every kg table produced a lineage row
+    stages = {r["stage"] for r in out["metrics"].collect()}
+    assert {"kg_doc_entities", "kg_nodes", "kg_edges"} <= stages
+    # resume: second run reuses the committed kg tables, identical nodes
+    out2 = run_pipeline(spark, pages, PipelineConfig(
+        checkpoint_dir=ckpt, run_id=cfg.run_id, build_kg=True, kg_pagerank_iters=2))
+    a = sorted(r["node_key"] for r in out["kg_nodes"].collect())
+    b = sorted(r["node_key"] for r in out2["kg_nodes"].collect())
+    assert a == b

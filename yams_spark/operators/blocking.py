@@ -106,6 +106,89 @@ def salt_blocks(blocks: DataFrame, block_cap: int = DEFAULT_BLOCK_CAP) -> tuple[
     return salted, report
 
 
+def simhash_probe_keys(
+    sim_col,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    probe_bits: int = 0,
+):
+    """Array of SimHash band keys ``"<i>:<band value>"`` for a 64-bit
+    signature column; ``probe_bits=1`` additionally emits every 1-bit
+    flip of each band (multi-probe)."""
+    sim = F.col(sim_col) if isinstance(sim_col, str) else sim_col
+    mask = (1 << band_bits) - 1
+    keys = []
+    for i in range(n_bands):
+        band = F.shiftrightunsigned(sim, i * band_bits).bitwiseAND(F.lit(mask))
+        keys.append(F.concat(F.lit(f"{i}:"), band.cast("string")))
+        if probe_bits >= 1:
+            for j in range(band_bits):
+                keys.append(
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        band.bitwiseXOR(F.lit(1 << j)).cast("string"),
+                    )
+                )
+    return F.array(*keys)
+
+
+def simhash_multiprobe_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "url",
+    sim_col: str = "simhash64",
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """The web-scale SimHash blocker this module's own note called for:
+    multi-probe band tables + Hamming verify (the plain 16-bit band family
+    measured 78% junk pairs when fed straight to the expensive scorer —
+    the fix is a popcount verify between banding and scoring, plus probes
+    for recall past the pigeonhole bound).
+
+    Recall guarantee by pigeonhole over ``n_bands`` bands: a pair at
+    Hamming distance k has some band with <= floor(k/n_bands) differing
+    bits, so the exact band join is complete for k < n_bands, and 1-bit
+    probes (each band key also published with every single bit flipped,
+    on ONE side — bit flips are symmetric) are complete for
+    k <= 2*n_bands - 1. Candidates are verified with
+    ``bit_count(a XOR b) <= max_hamming`` — one cheap codegen popcount
+    per candidate, so junk band collisions die before any scoring.
+    Returns (id_a, id_b, hamming).
+    """
+    if max_hamming >= 2 * n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 1-bit multi-probe recall "
+            f"guarantee ({2 * n_bands - 1} for {n_bands} bands); add bands "
+            "or raise band count"
+        )
+    probe_bits = 0 if max_hamming < n_bands else 1
+    base = signatures.select(F.col(id_col).alias("id"), F.col(sim_col).alias("sim"))
+    left = base.select(
+        F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
+        F.explode(
+            simhash_probe_keys(F.col("sim"), n_bands, band_bits, probe_bits)
+        ).alias("bkey"),
+    ).dropDuplicates(["id_a", "bkey"])
+    right = base.select(
+        F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
+        F.explode(
+            simhash_probe_keys(F.col("sim"), n_bands, band_bits, 0)
+        ).alias("bkey"),
+    )
+    cand = (
+        left.join(right, "bkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def candidate_pairs_stage(blocks: DataFrame) -> DataFrame:
     """(url, block_key) -> distinct (url_a, url_b) with url_a < url_b.
 

@@ -62,6 +62,13 @@ class PipelineConfig:
     #: picklable ``list[str] -> vectors`` batch callable; None keeps the
     #: deterministic feature-hash stand-in the oracles share
     embed_fn: object | None = None
+    #: run the KG-population stage after signatures (the PostIngestQueue
+    #: KnowledgeGraph/Entity stage position, PostIngestQueue.cpp:289-500):
+    #: emits kg_doc_entities/nodes/aliases/edges/node_stats keyed by
+    #: xxhash64(url) (the Spark-native analog of the reference's numeric
+    #: document rowid), checkpointed + lineage-tracked like any stage
+    build_kg: bool = False
+    kg_pagerank_iters: int = 5
     checkpoint_dir: str | None = None
     run_id: str = ""
 
@@ -230,6 +237,29 @@ def run_pipeline(
         _append_metrics(cfg, _partition_metrics(signatures, cfg.run_id, "sign"))
     out["signatures"] = signatures
     mark("sign")
+
+    # --- optional KG population (PostIngestQueue stage position) ---
+    if cfg.build_kg:
+        from yams_spark.operators.kg import populate_kg
+
+        kg_docs = signatures.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("extracted_text").alias("text"),
+        )
+        kg = populate_kg(
+            kg_docs,
+            pagerank_iters=cfg.kg_pagerank_iters,
+            doc_embeddings=signatures.select(
+                F.xxhash64("url").alias("vec_id"), "embedding"
+            ),
+        )
+        for name, df in kg.items():
+            if _stage_done(cfg, name):
+                out[name] = spark.read.parquet(_stage_path(cfg, name))
+            else:
+                out[name] = _commit_stage(spark, cfg, name, df)
+                _append_metrics(cfg, _partition_metrics(out[name], cfg.run_id, name))
+        mark("kg")
 
     # --- block (+salting report) ---
     if _stage_done(cfg, "block"):
