@@ -1103,6 +1103,52 @@ def q52_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_minhash_estimate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup with the sketch's own Jaccard estimate: banded
+    candidates (4 bands × 2 rows over the q27-style md5 8-perm sketch)
+    verified by estimated Jaccard = matching permutations / 8 — the
+    block → estimate cascade of sketch dedup (the production ER path
+    verifies with exact cosine; this is the cheap estimate-only mode)."""
+    _ship_package(spark)
+    from yams_spark.operators.ann import minhash_estimate_pairs
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "t", F.array_distinct(F.expr(_TOKENIZE_SPARK.format(col="text")))
+    ).where(F.size("t") >= 1)
+    mins = d.select(
+        "doc_id",
+        *[
+            F.array_min(F.expr(f"transform(t, s -> md5(concat('{i}:', s)))")).alias(f"m{i}")
+            for i in range(8)
+        ],
+    )
+    out = minhash_estimate_pairs(
+        mins, "doc_id", [f"m{i}" for i in range(8)], rows_per_band=2, threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round("est_jaccard", 6).cast("double").alias("est_jaccard"),
+    )
+
+
+def q55_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counting (training-data budgeting op): the
+    GPT-2 pre-tokenization shape (contractions, optional-space letter /
+    digit / punctuation runs) without the trailing-space lookahead so the
+    pattern runs identically under Java regex and RE2; whitespace runs are
+    glue, not tokens."""
+    _ship_package(spark)
+    from yams_spark.functions.textnorm import BPE_TOKEN_PATTERN
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.trim(t) != "")).alias("bpe_tokens"),
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("ws_tokens"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1411,6 +1457,26 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse k-means lists + nprobe probing, Jégou et al. 2011
+    §IV): train lists on a bounded sample, assign the corpus, answer a
+    fixed query probing 4 of 16 lists — the partition-pruning ANN layout.
+    Rows-only (k-means training is not SQL-expressible); pytest pins the
+    nprobe=n_lists ≡ exact property."""
+    _ship_package(spark)
+    from yams_spark.operators.ivf import ivf_assign, ivf_topk, train_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf(e, n_lists=16, train_limit=512, iters=5)
+    assigned = ivf_assign(e, cents)
+    q = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"]
+    out = ivf_topk(assigned, cents, q, k=10, nprobe=4)
+    return out.select(
+        "vec_id", F.round("cosine", 6).cast("double").alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize over the deterministic synthetic media
     table: REAL codecs for PPM images (pixel decode, channel stats +
@@ -1592,7 +1658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_hotzone_fusion": q51_hotzone_fusion,
         "q52_prefix_match": q52_prefix_match,
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
+        "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
+        "q55_bpe_token_count": q55_bpe_token_count,
         "ann_pq_adc": ann_pq_adc,
+        "ann_ivf": ann_ivf,
         "media_features": media_features,
         "er_mini": er_mini,
         "er_mini_members": er_mini_members,
@@ -2609,6 +2678,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(avg_val, 6) AS DOUBLE) AS val
             FROM avgd JOIN dd USING (node_key) JOIN counts USING (node_key)
         """,
+        "q54_minhash_estimate_dedup": f"""
+            WITH d AS (SELECT doc_id, list_distinct({tok}) AS t FROM documents),
+            sh AS (SELECT doc_id, unnest(t) AS s FROM d WHERE len(t) >= 1),
+            mins AS (
+                SELECT doc_id,
+                       MIN(md5('0:' || s)) AS m0, MIN(md5('1:' || s)) AS m1,
+                       MIN(md5('2:' || s)) AS m2, MIN(md5('3:' || s)) AS m3,
+                       MIN(md5('4:' || s)) AS m4, MIN(md5('5:' || s)) AS m5,
+                       MIN(md5('6:' || s)) AS m6, MIN(md5('7:' || s)) AS m7
+                FROM sh GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, 0 AS band, m0 || m1 AS band_key FROM mins
+                UNION ALL SELECT doc_id, 1, m2 || m3 FROM mins
+                UNION ALL SELECT doc_id, 2, m4 || m5 FROM mins
+                UNION ALL SELECT doc_id, 3, m6 || m7 FROM mins),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+            est AS (
+                SELECT cand.id_a, cand.id_b,
+                       ((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END)
+                      + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END)
+                      + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END)
+                      + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END)) / 8.0
+                           AS est_jaccard
+                FROM cand
+                JOIN mins a ON a.doc_id = cand.id_a
+                JOIN mins b ON b.doc_id = cand.id_b)
+            SELECT id_a, id_b,
+                   CAST(ROUND(est_jaccard, 6) AS DOUBLE) AS est_jaccard
+            FROM est WHERE est_jaccard >= 0.5
+        """,
+        "q55_bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_extract_all(text, '{{bpe}}'),
+                       x -> trim(x) <> '')) AS INTEGER) AS bpe_tokens,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS INTEGER) AS ws_tokens
+            FROM documents
+        """.replace("{bpe}", "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"),
         "er_mini_members": """
             WITH pages AS (
                 SELECT 'doc://' || doc_id AS url, doc_id * 60 AS ts, text

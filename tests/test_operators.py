@@ -471,3 +471,41 @@ def test_simhash_multiprobe_pairs(spark) -> None:
     assert h[("a0", "a1")] == 1 and h[("a0", "a7")] == 7
     with pytest.raises(ValueError, match="multi-probe recall"):
         simhash_multiprobe_pairs(df, max_hamming=8)
+
+
+def test_minhash_estimate_pairs(spark) -> None:
+    """Banded candidates verified by the sketch's Jaccard estimate
+    (= matching permutations / n); identical sketches estimate 1.0 and a
+    pair sharing no band never becomes a candidate."""
+    from yams_spark.operators.ann import minhash_estimate_pairs
+
+    rows = [
+        ("a", "h1", "h2", "h3", "h4"),
+        ("b", "h1", "h2", "h3", "hX"),   # shares band 0 -> candidate, est 0.75
+        ("c", "h1", "hY", "hZ", "hW"),   # m0 matches but band 0 = m0||m1 differs
+        ("d", "q1", "q2", "q3", "q4"),   # disjoint
+        ("e", "h1", "h2", "h3", "h4"),   # identical to a -> est 1.0
+    ]
+    mins = spark.createDataFrame(rows, "doc string, m0 string, m1 string, m2 string, m3 string")
+    out = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_estimate_pairs(
+            mins, "doc", ["m0", "m1", "m2", "m3"], rows_per_band=2, threshold=0.5
+        ).collect()
+    }
+    assert out[("a", "e")] == 1.0
+    assert out[("a", "b")] == 0.75
+    assert out[("b", "e")] == 0.75
+    assert not any("c" in p or "d" in p for p in out)  # no shared band / below threshold
+    with pytest.raises(ValueError):
+        minhash_estimate_pairs(mins, "doc", ["m0", "m1", "m2"], rows_per_band=2)
+
+
+def test_bpe_tokens() -> None:
+    from yams_spark.functions.textnorm import bpe_tokens
+
+    assert bpe_tokens("it's a test-case 42") == [
+        "it", "'s", " a", " test", "-", "case", " 42"
+    ]
+    assert bpe_tokens("") == []
+    assert bpe_tokens("   ") == []

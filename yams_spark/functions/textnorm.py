@@ -86,3 +86,19 @@ def normalize_title(title: str, max_len: int = 120) -> str:
     collapse internal whitespace, cap at ``max_len`` chars."""
     collapsed = " ".join(title.split())
     return collapsed[:max_len]
+
+
+#: BPE-style pre-tokenizer pattern (the GPT-2 pre-tokenization shape,
+#: simplified to drop the trailing-whitespace lookahead so it runs
+#: identically under Java regex and RE2): contraction suffixes, optional-
+#: space letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
+
+
+def bpe_tokens(text: str) -> list[str]:
+    """Non-whitespace BPE-style pre-tokens of ``text`` (token counting for
+    training-data budgeting; whitespace runs are tokenizer glue, not
+    tokens)."""
+    return [t for t in _BPE_RE.findall(text) if t.strip() != ""]

@@ -332,6 +332,61 @@ def near_dup_pairs_topn(
     ).limit(n)
 
 
+def minhash_estimate_pairs(
+    mins: DataFrame,
+    id_col: str,
+    perm_cols: list[str],
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash dedup with the sketch's own similarity estimate: candidates
+    from the banded self-join (rows_per_band consecutive permutations per
+    band key), verified by estimated Jaccard = fraction of matching
+    permutations — the block → estimate cascade of sketch-based dedup
+    (the unbiased MinHash estimator; the production ER path verifies with
+    exact cosine instead, this is the cheaper estimate-only mode).
+    Returns (id_a, id_b, est_jaccard >= threshold). Shuffles on band keys
+    and the two id-hydration joins only — never all pairs.
+    """
+    n = len(perm_cols)
+    if n == 0 or n % rows_per_band != 0:
+        raise ValueError("perm_cols must be a non-empty multiple of rows_per_band")
+    bands = None
+    for b in range(n // rows_per_band):
+        part = mins.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band"),
+            F.concat(
+                *[F.col(perm_cols[b * rows_per_band + j]) for j in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select("band", "band_key", F.col("id").alias("id_a"))
+    right = bands.select("band", "band_key", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = mins.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in perm_cols]
+    )
+    b_ = mins.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in perm_cols]
+    )
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in perm_cols
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .withColumn("est_jaccard", matches.cast("double") / F.lit(float(n)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, band_col: str = "minhash_bands") -> DataFrame:
     """LSH-bucketed candidate pairs for the >250k regime: explode band keys,
     self-join within band (the scale path used by the ER blocking stage)."""
