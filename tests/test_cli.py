@@ -1,0 +1,73 @@
+"""CLI surface: the reference's command verbs over the operators
+(yams_spark/cli.py), driven in-process with an injected session."""
+
+from __future__ import annotations
+
+import json
+
+from yams_spark.cli import main
+
+
+def _jsonl(capsys):
+    return [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+
+
+def test_cli_grep_and_search(spark, tmp_path, capsys) -> None:
+    docs = spark.createDataFrame(
+        [(1, "the stream flows\nno match here\nstream again"),
+         (2, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+
+    assert main(["grep", "stream", "--count", "--docs", p], spark=spark) == 0
+    rows = _jsonl(capsys)
+    assert rows == [{"doc_id": 1, "n_matches": 2}]
+
+    assert main(["grep", "stream", "-C", "1", "--docs", p], spark=spark) == 0
+    lines = _jsonl(capsys)
+    assert [r["line_no"] for r in lines] == [1, 2, 3]
+    assert [r["is_match"] for r in lines] == [True, False, True]
+
+    assert main(["search", "stream flows", "--docs", p], spark=spark) == 0
+    hits = _jsonl(capsys)
+    assert hits and hits[0]["doc_id"] == "1"
+
+
+def test_cli_get_ls_snapshot(spark, tmp_path, capsys) -> None:
+    docs = spark.createDataFrame(
+        [("/a/readme.txt", "aabb0011", 1), ("/b/other.txt", "ccdd2233", 2)],
+        "path string, doc_hash string, warc_ts long",
+    )
+    p = str(tmp_path / "d.parquet")
+    docs.write.parquet(p)
+
+    assert main(["get", "readme.txt", "--docs", p, "--recency-col", "warc_ts"],
+                spark=spark) == 0
+    got = _jsonl(capsys)
+    assert got[0]["matched_via"] == "basename" and got[0]["path"] == "/a/readme.txt"
+
+    assert main(["ls", "--name", "read", "--docs", p], spark=spark) == 0
+    assert [r["path"] for r in _jsonl(capsys)] == ["/a/readme.txt"]
+
+    files = spark.createDataFrame(
+        [("/a/x.txt", "h1"), ("/a/y.txt", "h2")], "path string, file_hash string"
+    )
+    fp = str(tmp_path / "files.parquet")
+    files.write.parquet(fp)
+    assert main(["snapshot", "--files", fp, "--snapshot-id", "s1"], spark=spark) == 0
+    snap = _jsonl(capsys)[0]
+    assert snap["snapshot_id"] == "s1" and snap["files_count"] == 2
+    assert len(snap["tree_root_hash"]) == 64
+
+
+def test_cli_kg(spark, tmp_path, capsys) -> None:
+    docs = spark.createDataFrame(
+        [(1, "Alpha Beta met Gamma Delta")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "kd.parquet")
+    docs.write.parquet(p)
+    assert main(["kg", "--docs", p, "--pagerank-iters", "2"], spark=spark) == 0
+    counts = _jsonl(capsys)[0]
+    assert counts["kg_nodes"] >= 3 and counts["kg_edges"] == 2

@@ -187,6 +187,7 @@ def grep_lines_context(
     pattern: str,
     before: int = 0,
     after: int = 0,
+    context: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
     literal_text: bool = False,
@@ -195,10 +196,13 @@ def grep_lines_context(
 ) -> DataFrame:
     """grep -B/-A/-C context lines (services.hpp:370-372): (id, line_no,
     line, is_match) for matching lines plus up to ``before`` lines above
-    and ``after`` lines below each match. Line i is emitted when any match
+    and ``after`` lines below each match; ``context > 0`` overrides both
+    (-C semantics, services.hpp:371). Line i is emitted when any match
     exists in [i-after, i+before] — one window over the exploded lines,
     partitioned per document (never a global sort); line numbers are
     consecutive so the ROWS frame is exact."""
+    if context > 0:
+        before = after = context
     regex, literal = _effective_pattern(pattern, literal_text, whole_word, ignore_case)
     out = _prefiltered(docs, literal, text_col, ignore_case)
     lines = out.select(
