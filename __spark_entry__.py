@@ -1149,6 +1149,44 @@ def q55_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_TRIGRAM_PROFILES = {
+    # character-trigram profiles (space-padded word shapes) — the n-gram
+    # flavor of language ID (q18 is the stopword-vote flavor); profiles
+    # derived from each language's function words
+    "en": ["the", "he ", " th", "and", "nd ", " an", "ing", "of "],
+    "de": ["der", "er ", " de", "und", "die", "ie ", "sch", "ein"],
+    "fr": ["le ", " le", "les", "de ", "ent", "que", " et", "ion"],
+    "es": ["el ", " el", "los", "de ", "que", " qu", "ión", " la"],
+}
+
+
+def q56_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via character n-gram profiles (training-data op, the
+    classic Cavnar-Trenkle shape): score per language = how many of its
+    profile trigrams occur in the document (space-padded), argmax with
+    'und' on zero evidence — pure Catalyst contains() checks, no
+    tokenization at all."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "padded", F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    )
+    for code, grams in _LANG_TRIGRAM_PROFILES.items():
+        score = sum(
+            F.when(F.contains(F.col("padded"), F.lit(g)), 1).otherwise(0)
+            for g in grams
+        )
+        d = d.withColumn(f"s_{code}", score.cast("int"))
+    codes = list(_LANG_TRIGRAM_PROFILES)
+    best = F.greatest(*[F.col(f"s_{c}") for c in codes])
+    pred = F.when(best == 0, F.lit("und"))
+    for c in codes:
+        pred = pred.when(F.col(f"s_{c}") == best, F.lit(c))
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        *[F.col(f"s_{c}") for c in codes],
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1660,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
         "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
         "q55_bpe_token_count": q55_bpe_token_count,
+        "q56_lang_id_ngram": q56_lang_id_ngram,
         "ann_pq_adc": ann_pq_adc,
         "ann_ivf": ann_ivf,
         "media_features": media_features,
@@ -2725,6 +2764,55 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS ws_tokens
             FROM documents
         """.replace("{bpe}", "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"),
+        "q56_lang_id_ngram": """
+            WITH p AS (
+                SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded
+                FROM documents),
+            s AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN contains(padded, 'the') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'he ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' th') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'and') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'nd ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' an') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'ing') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'of ') THEN 1 ELSE 0 END) AS s_en,
+                       (CASE WHEN contains(padded, 'der') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'er ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' de') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'und') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'die') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'ie ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'sch') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'ein') THEN 1 ELSE 0 END) AS s_de,
+                       (CASE WHEN contains(padded, 'le ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' le') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'les') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'de ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'ent') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'que') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' et') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'ion') THEN 1 ELSE 0 END) AS s_fr,
+                       (CASE WHEN contains(padded, 'el ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' el') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'los') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'de ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'que') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' qu') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, 'ión') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' la') THEN 1 ELSE 0 END) AS s_es
+                FROM p)
+            SELECT doc_id, lang AS labeled_lang,
+                   CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS predicted_lang,
+                   CAST(s_en AS INTEGER) AS s_en, CAST(s_de AS INTEGER) AS s_de,
+                   CAST(s_fr AS INTEGER) AS s_fr, CAST(s_es AS INTEGER) AS s_es
+            FROM s
+        """,
         "er_mini_members": """
             WITH pages AS (
                 SELECT 'doc://' || doc_id AS url, doc_id * 60 AS ts, text
