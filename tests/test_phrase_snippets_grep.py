@@ -195,3 +195,21 @@ def test_hotzone_boost_in_fusion(spark) -> None:
     assert h["2"] == pytest.approx(b["2"] * 1.8)  # score' = s*(1+w*(boost-1))
     hot_rows = hot.orderBy(F.col("fused_score").desc()).collect()
     assert hot_rows[0]["doc_id"] == "2"           # hot doc now outranks
+
+
+def test_hybrid_search_snippet_decoration(spark) -> None:
+    """include_snippets=True hydrates the result head with the multi-term
+    best-coverage snippet (search_ops.cpp:191), computed only for hit
+    docs."""
+    from yams_spark.operators.neighbors import hybrid_search
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = hybrid_search(spark, docs, "table scan", None, limit=5,
+                        enable_lexical_expansion=False, include_snippets=True)
+    rows = {r["doc_id"]: r["snippet"] for r in out.collect()}
+    assert rows and all(s is not None for s in rows.values())
+    assert "<b>table</b>" in rows["1"] and "<b>scan</b>" in rows["1"]
+    # default: no snippet column
+    plain = hybrid_search(spark, docs, "table scan", None, limit=5,
+                          enable_lexical_expansion=False)
+    assert "snippet" not in plain.columns

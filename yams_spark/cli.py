@@ -35,7 +35,7 @@ def cmd_search(spark, args) -> int:
     out = hybrid_search(
         spark, _docs(spark, args.docs), args.query, None,
         id_col=args.id_col, text_col=args.text_col, limit=args.limit,
-        auto_phrase=args.auto_phrase,
+        auto_phrase=args.auto_phrase, include_snippets=args.snippets,
     )
     _emit(out, args.limit)
     return 0
@@ -145,6 +145,7 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("search", help="hybrid lexical search")
     s.add_argument("query")
     s.add_argument("--auto-phrase", action="store_true")
+    s.add_argument("--snippets", action="store_true")
     common(s)
     s.set_defaults(fn=cmd_search)
 

@@ -113,6 +113,8 @@ def hybrid_search(
     auto_phrase: bool = False,
     hotzone_df: DataFrame | None = None,
     hotzone_weight: float = 0.0,
+    include_snippets: bool = False,
+    snippet_window: int = 16,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
@@ -215,8 +217,29 @@ def hybrid_search(
 
         fused = apply_hotzone_boost(fused, hotzone_df, hotzone_weight)
     head = topk_with_rescue(fused, limit=limit)
+
+    def decorate(result: DataFrame) -> DataFrame:
+        # search-result snippet hydration (search_ops.cpp:191): the
+        # best-coverage window over every query term, joined onto the
+        # (tiny) head only — never computed corpus-wide
+        if not include_snippets or not terms:
+            return result
+        from yams_spark.operators.grep import snippet_multi_expr
+
+        hit_docs = docs.select(
+            F.col(id_col).cast("string").alias("doc_id"), F.col(text_col)
+        ).join(result.select("doc_id"), "doc_id", "left_semi")
+        toks = F.expr(
+            f"filter(split(lower(regexp_replace({text_col}, '[^0-9a-zA-Z]+', ' ')), ' '), "
+            "x -> x <> '')"
+        )
+        snips = hit_docs.select(
+            "doc_id", snippet_multi_expr(toks, terms, snippet_window).alias("snippet")
+        )
+        return result.join(snips, "doc_id", "left")
+
     if not enable_cross_rerank:
-        return head
+        return decorate(head)
 
     # cross-rerank blend of the top-N (cross_rerank.cpp:60-160): rerank
     # scores from the deterministic overlap scorer, min-max blend
@@ -241,4 +264,4 @@ def hybrid_search(
         F.lit(None).cast("double").alias("blended_score"),
         (F.col("__r") + rerank_top_n).alias("final_rank"),
     )
-    return b_ranked.unionByName(r_ranked).orderBy("final_rank")
+    return decorate(b_ranked.unionByName(r_ranked).orderBy("final_rank"))
