@@ -1187,6 +1187,33 @@ def q56_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5 phrase scoring: MATCH '"table scan" fast' ranks with the
+    phrase as ONE indexed term whose tf is the adjacency occurrence count
+    from the positional index (member tokens do not contribute
+    separately) combined with the loose term — the scoring half of the
+    phrase feature on top of q46's matching half."""
+    _ship_package(spark)
+    from yams_spark.operators.search import (
+        bm25_scores,
+        build_positional_postings,
+        build_posting_lists,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    postings = build_posting_lists(d, "doc_id", "text")
+    pp = build_positional_postings(d, "doc_id", "text")
+    out = bm25_scores(
+        postings, ["fast"], match_all=True,
+        phrases=[["table", "scan"]], positional_postings=pp,
+    )
+    return (
+        out.select("doc_id", F.round("bm25", 6).cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1699,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
         "q55_bpe_token_count": q55_bpe_token_count,
         "q56_lang_id_ngram": q56_lang_id_ngram,
+        "q57_phrase_bm25": q57_phrase_bm25,
         "ann_pq_adc": ann_pq_adc,
         "ann_ivf": ann_ivf,
         "media_features": media_features,
@@ -2812,6 +2840,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s_en AS INTEGER) AS s_en, CAST(s_de AS INTEGER) AS s_de,
                    CAST(s_fr AS INTEGER) AS s_fr, CAST(s_es AS INTEGER) AS s_es
             FROM s
+        """,
+        "q57_phrase_bm25": f"""
+            WITH d AS (
+                SELECT doc_id, CAST(len({tok}) AS DOUBLE) AS dl,
+                       {tok} AS tokens
+                FROM documents),
+            dd AS (SELECT * FROM d WHERE dl > 0),
+            corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+            tfe AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                    SELECT doc_id, dl, unnest(tokens) AS term FROM dd)
+                WHERE term = 'fast' GROUP BY doc_id, dl, term),
+            tfp AS (
+                SELECT doc_id, dl, '"table scan"' AS term,
+                       CAST(len(list_filter(range(1, len(tokens)),
+                           i -> tokens[i] = 'table' AND tokens[i + 1] = 'scan'))
+                           AS BIGINT) AS tf
+                FROM dd
+                WHERE len(list_filter(range(1, len(tokens)),
+                          i -> tokens[i] = 'table' AND tokens[i + 1] = 'scan')) > 0),
+            tf AS (SELECT * FROM tfe UNION ALL SELECT * FROM tfp),
+            fullm AS (
+                SELECT doc_id FROM tf GROUP BY doc_id
+                HAVING COUNT(DISTINCT term) = 2),
+            tff AS (SELECT tf.* FROM tf JOIN fullm USING (doc_id)),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tff GROUP BY term)
+            SELECT doc_id,
+                   CAST(ROUND(SUM(
+                       ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * tff.tf * 2.2
+                       / (tff.tf + 1.2 * (0.25 + 0.75 * tff.dl / corpus.avgdl))
+                   ), 6) AS DOUBLE) AS bm25
+            FROM tff JOIN df USING (term) CROSS JOIN corpus
+            GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20
         """,
         "er_mini_members": """
             WITH pages AS (

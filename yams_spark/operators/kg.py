@@ -295,14 +295,21 @@ def populate_kg(
     text_col: str = "text",
     pagerank_iters: int = 20,
     doc_embeddings: DataFrame | None = None,
+    persist_mentions: bool = True,
 ) -> dict[str, DataFrame]:
     """The whole PostIngestQueue KG stage in one call: returns
     {kg_doc_entities, kg_nodes, kg_aliases, kg_edges, kg_node_stats}, plus
     kg_node_embeddings when a (vec_id, embedding) table is supplied.
-    The mentions table feeds every downstream table, so callers running
-    more than one output should persist it."""
+    The mentions table feeds every downstream table, so it is persisted by
+    default — otherwise the extraction pass re-runs once per output table
+    (``persist_mentions=False`` restores lazy behavior for callers that
+    materialize only one output)."""
     ents = extract_doc_entities(docs, id_col, text_col)
+    if persist_mentions:
+        ents = ents.persist()
     edges = build_kg_edges(ents)
+    if persist_mentions:
+        edges = edges.persist()
     out = {
         "kg_doc_entities": ents,
         "kg_nodes": build_kg_nodes(ents),

@@ -24,7 +24,6 @@ from yams_spark.operators.search import (
     global_rank,
     normalize_bm25,
     parse_match_query,
-    phrase_match,
     topk_with_rescue,
 )
 
@@ -137,25 +136,26 @@ def hybrid_search(
     import numpy as np
 
     parsed = parse_match_query(query_text, auto_phrase=auto_phrase)
-    phrases = [p for p in parsed["phrases"] if p]
-    terms = [t for p in phrases for t in p] + parsed["terms"]
+    multi_phrases = [p for p in parsed["phrases"] if len(p) >= 2]
+    # FTS5 semantics: a quoted phrase is ONE indexed query term (scored by
+    # its adjacency tf), its member tokens do not contribute separately;
+    # single-token "phrases" degrade to plain terms
+    terms = parsed["terms"] + [p[0] for p in parsed["phrases"] if len(p) == 1]
+    all_tokens = terms + [t for p in multi_phrases for t in p]
     postings = build_posting_lists(docs, id_col, text_col)
-    lex = bm25_scores(
-        postings, terms, match_all=True, prefix_terms=parsed["prefix_terms"]
+    pos_postings = (
+        build_positional_postings(docs, id_col, text_col) if multi_phrases else None
     )
-    multi_phrases = [p for p in phrases if len(p) >= 2]
-    if multi_phrases:
-        pos_postings = build_positional_postings(docs, id_col, text_col)
-        for ph in multi_phrases:
-            lex = lex.join(
-                phrase_match(pos_postings, ph).select("doc_id"), "doc_id", "left_semi"
-            )
+    lex = bm25_scores(
+        postings, terms, match_all=True, prefix_terms=parsed["prefix_terms"],
+        phrases=multi_phrases, positional_postings=pos_postings,
+    )
     # FTS5 bm25 is negative-better; ours is positive-better → negate before
     # the reference's range normalization (lexical_scoring.cpp:18-43)
     lex = normalize_bm25(lex.withColumn("bm25", -F.col("bm25")))
     if enable_lexical_expansion:
         base_hits = lex.count()  # scalar — the reference counts the batch too
-        exp_terms = expansion_terms(terms)
+        exp_terms = expansion_terms(all_tokens)
         if base_hits < expansion_min_hits and exp_terms:
             penalty = min(max(expansion_penalty, 0.1), 1.0)
             expanded = bm25_scores(postings, exp_terms, match_all=False)
@@ -222,7 +222,7 @@ def hybrid_search(
         # search-result snippet hydration (search_ops.cpp:191): the
         # best-coverage window over every query term, joined onto the
         # (tiny) head only — never computed corpus-wide
-        if not include_snippets or not terms:
+        if not include_snippets or not all_tokens:
             return result
         from yams_spark.operators.grep import snippet_multi_expr
 
@@ -234,7 +234,8 @@ def hybrid_search(
             "x -> x <> '')"
         )
         snips = hit_docs.select(
-            "doc_id", snippet_multi_expr(toks, terms, snippet_window).alias("snippet")
+            "doc_id",
+            snippet_multi_expr(toks, all_tokens, snippet_window).alias("snippet"),
         )
         return result.join(snips, "doc_id", "left")
 

@@ -180,6 +180,8 @@ def bm25_scores(
     b: float = 0.75,
     match_all: bool = False,
     prefix_terms: list[str] | None = None,
+    phrases: list[list[str]] | None = None,
+    positional_postings: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bm25) from posting statistics. ``match_all=False`` is the
     disjunctive (OR) query; ``match_all=True`` keeps only documents
@@ -190,8 +192,17 @@ def bm25_scores(
     search_query_helpers.cpp:377-380): each behaves as ONE query term
     whose per-document tf is the total count of vocabulary terms starting
     with the stem, and whose document frequency is the count of documents
-    containing any of them — exactly FTS5's prefix-index semantics."""
+    containing any of them — exactly FTS5's prefix-index semantics.
+
+    ``phrases`` are quoted FTS5 phrases, each scored as ONE query term
+    whose per-document tf is the adjacency occurrence count from the
+    positional index (FTS5 MATCH '"a b"' indexes the phrase itself, the
+    member tokens do not contribute separately); requires
+    ``positional_postings`` for the position-list intersection."""
     prefix_terms = list(dict.fromkeys(prefix_terms or []))
+    phrases = [p for p in (phrases or []) if p]
+    if phrases and positional_postings is None:
+        raise ValueError("phrases require positional_postings")
     stats = postings.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -207,8 +218,17 @@ def bm25_scores(
             .select("doc_id", "dl", F.lit(stem + "*").alias("term"), "tf")
         )
         tf = tf.unionByName(p)
+    dls = postings.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    for ph in phrases:
+        pm = phrase_match(positional_postings, ph)
+        p = pm.join(dls, "doc_id").select(
+            "doc_id", "dl",
+            F.lit('"' + " ".join(ph) + '"').alias("term"),
+            F.col("n_occurrences").cast("long").alias("tf"),
+        )
+        tf = tf.unionByName(p)
     if match_all:
-        n_terms = len(set(query_terms)) + len(prefix_terms)
+        n_terms = len(set(query_terms)) + len(prefix_terms) + len(phrases)
         full = (
             tf.groupBy("doc_id")
             .agg(F.countDistinct("term").alias("nt"))
