@@ -213,3 +213,42 @@ def test_hybrid_search_snippet_decoration(spark) -> None:
     plain = hybrid_search(spark, docs, "table scan", None, limit=5,
                           enable_lexical_expansion=False)
     assert "snippet" not in plain.columns
+
+
+def test_snippet_phrase_highlight(spark) -> None:
+    """Phrase-aware snippet: the phrase wraps as ONE unit, loose terms
+    wrap individually outside phrase spans, clipped phrases stay
+    unwrapped, overlapping occurrences nest balanced tags."""
+    from yams_spark.operators.grep import snippet_phrase_expr
+
+    def snip(text, phrase, terms=None, window=16):
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        toks = F.expr(
+            "filter(split(lower(regexp_replace(text, '[^0-9a-zA-Z]+', ' ')), ' '), "
+            "x -> x <> '')"
+        )
+        out = docs.select(
+            snippet_phrase_expr(toks, phrase, terms, window).alias("s")
+        ).collect()
+        return out[0]["s"]
+
+    # phrase highlighted as a unit; loose term separately
+    got = snip("a fast table scan runs here", ["table", "scan"], ["fast"])
+    assert got == "a <b>fast</b> <b>table scan</b> runs here"
+    # phrase member tokens are NOT individually wrapped even if they are
+    # also loose terms (span positions excluded)
+    got2 = snip("scan the table scan", ["table", "scan"], ["scan"])
+    assert got2 == "<b>scan</b> the <b>table scan</b>"
+    # overlapping occurrences nest balanced tags
+    got3 = snip("ha ha ha", ["ha", "ha"])
+    assert got3.count("<b>") == got3.count("</b>") == 2
+    # no phrase, no terms hit -> NULL (no row semantics up to the caller)
+    assert snip("nothing here", ["table", "scan"], ["fast"]) is None
+    # empty doc: no crash
+    assert snip("", ["table", "scan"], ["fast"]) is None
+    # more hits win: the double-phrase region beats the lone-term region
+    # (a single occurrence each would tie on coverage and the EARLIEST
+    # window would rightly win)
+    words = ["fast"] + [f"w{i}" for i in range(30)] + ["table", "scan", "table", "scan"]
+    got4 = snip(" ".join(words), ["table", "scan"], ["fast"], window=8)
+    assert got4.count("<b>table scan</b>") == 2 and got4.startswith("...")

@@ -330,6 +330,123 @@ def with_snippets_multi(
     return out.where(F.col("snippet").isNotNull())
 
 
+def snippet_phrase_expr(
+    tokens_col: Column | str,
+    phrase: list[str],
+    terms: list[str] | None = None,
+    window: int = 16,
+    open_tag: str = "<b>",
+    close_tag: str = "</b>",
+    ellipsis: str = "...",
+) -> Column:
+    """Phrase-aware snippet: a quoted phrase highlights as ONE unit
+    (``<b>table scan</b>``), loose terms highlight individually outside
+    phrase spans — FTS5's snippet() behavior for phrase queries. Window
+    selection scores (phrase present as a full occurrence + distinct
+    loose terms, total hits, earliest); a phrase clipped by the window
+    edge renders unwrapped rather than half-tagged. Pure Catalyst array
+    ops, restatable in DuckDB list SQL. NULL when neither the phrase nor
+    any loose term occurs."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    terms = terms or []
+    m = len(phrase)
+    if m < 1:
+        raise ValueError("phrase must be non-empty")
+    terms_arr = (
+        F.array(*[F.lit(t) for t in terms])
+        if terms
+        else F.expr("array()").cast("array<string>")
+    )
+    n = F.size(toks)
+    half = window // 2 - 1
+
+    # phrase occurrence starts: i where toks[i..i+m-1] == phrase
+    def is_start(i):
+        cond = None
+        for j, t in enumerate(phrase):
+            c = F.element_at(toks, i + j) == F.lit(t)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    starts = F.when(
+        n >= m, F.filter(F.sequence(F.lit(1), n - m + 1), is_start)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    ends = F.transform(starts, lambda s0: s0 + (m - 1))
+    span_pos = F.array_distinct(
+        F.flatten(F.transform(starts, lambda s0: F.sequence(s0, s0 + (m - 1))))
+    )
+    loose_hits = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_contains(terms_arr, F.element_at(toks, i))
+            & ~F.coalesce(F.array_contains(span_pos, i), F.lit(False)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    anchors = F.concat(starts, loose_hits)
+
+    max_start = F.greatest(n - window + 1, F.lit(1))
+    cands = F.array_distinct(
+        F.transform(
+            anchors, lambda p: F.least(F.greatest(p - half, F.lit(1)), max_start)
+        )
+    )
+
+    def score(s):
+        e = s + window - 1
+        full = F.filter(starts, lambda s0: (s0 >= s) & (s0 + (m - 1) <= e))
+        in_win = F.filter(loose_hits, lambda i: (i >= s) & (i <= e))
+        term_cov = F.size(
+            F.array_distinct(F.transform(in_win, lambda i: F.element_at(toks, i)))
+        )
+        cov = F.when(F.size(full) > 0, 1).otherwise(0) + term_cov
+        nh = F.size(full) + F.size(in_win)
+        return F.struct(cov.alias("cov"), nh.alias("nh"), (-s).alias("negs"))
+
+    best = F.array_max(F.transform(cands, score))
+    s = -best["negs"]
+    e = s + window - 1
+    opens = F.filter(starts, lambda s0: (s0 >= s) & (s0 + (m - 1) <= e))
+    closes = F.transform(opens, lambda s0: s0 + (m - 1))
+
+    def render(i):
+        tok = F.element_at(toks, i)
+        base = F.when(
+            F.array_contains(terms_arr, tok)
+            & ~F.coalesce(F.array_contains(span_pos, i), F.lit(False)),
+            F.concat(F.lit(open_tag), tok, F.lit(close_tag)),
+        ).otherwise(tok)
+        pre = F.when(F.array_contains(opens, i), F.lit(open_tag)).otherwise(F.lit(""))
+        post = F.when(F.array_contains(closes, i), F.lit(close_tag)).otherwise(F.lit(""))
+        return F.concat(pre, base, post)
+
+    body = F.concat_ws(" ", F.transform(F.sequence(s, F.least(e, n)), render))
+    pre_e = F.when(s > 1, F.lit(ellipsis)).otherwise(F.lit(""))
+    post_e = F.when(e < n, F.lit(ellipsis)).otherwise(F.lit(""))
+    return F.when(F.size(anchors) > 0, F.concat(pre_e, body, post_e))
+
+
+def with_snippets_phrase(
+    docs: DataFrame,
+    phrase: list[str],
+    terms: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """(id, snippet) with phrase-unit highlighting — the decoration column
+    for quoted-phrase queries."""
+    toks = F.expr(
+        f"filter(split(lower(regexp_replace({text_col}, '[^0-9a-zA-Z]+', ' ')), ' '), "
+        "x -> x <> '')"
+    )
+    out = docs.select(
+        F.col(id_col),
+        snippet_phrase_expr(toks, phrase, terms, window).alias("snippet"),
+    )
+    return out.where(F.col("snippet").isNotNull())
+
+
 def with_snippets(
     docs: DataFrame,
     term: str,
