@@ -71,3 +71,15 @@ def test_cli_kg(spark, tmp_path, capsys) -> None:
     assert main(["kg", "--docs", p, "--pagerank-iters", "2"], spark=spark) == 0
     counts = _jsonl(capsys)[0]
     assert counts["kg_nodes"] >= 3 and counts["kg_edges"] == 2
+
+
+def test_cli_grep_files_with_matches(spark, tmp_path, capsys) -> None:
+    docs = spark.createDataFrame(
+        [(1, "a stream here"), (2, "nothing")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "fw.parquet")
+    docs.write.parquet(p)
+    assert main(["grep", "stream", "-l", "--docs", p], spark=spark) == 0
+    assert _jsonl(capsys) == [{"doc_id": 1}]
+    assert main(["grep", "stream", "-L", "--docs", p], spark=spark) == 0
+    assert _jsonl(capsys) == [{"doc_id": 2}]

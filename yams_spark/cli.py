@@ -50,9 +50,11 @@ def cmd_grep(spark, args) -> int:
         literal_text=args.fixed_strings, whole_word=args.word,
         ignore_case=args.ignore_case,
     )
-    if args.count:
+    if args.count or args.files_with_matches or args.files_without_match:
         out = grep_scan(docs, args.pattern,
                         files_without_match=args.files_without_match, **common)
+        if args.files_with_matches or args.files_without_match:
+            out = out.select(args.id_col)  # -l / -L: ids only
     else:
         out = grep_lines_context(
             docs, args.pattern, before=args.before, after=args.after,
@@ -155,6 +157,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-F", "--fixed-strings", action="store_true")
     g.add_argument("-w", "--word", action="store_true")
     g.add_argument("-i", "--ignore-case", action="store_true")
+    g.add_argument("-l", "--files-with-matches", action="store_true")
     g.add_argument("-L", "--files-without-match", action="store_true")
     g.add_argument("-B", "--before", type=int, default=0)
     g.add_argument("-A", "--after", type=int, default=0)
