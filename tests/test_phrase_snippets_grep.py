@@ -143,6 +143,14 @@ def test_grep_whole_word_and_ignore_case(spark) -> None:
     fwm = {r["doc_id"] for r in
            grep_scan(docs, "stream", whole_word=True, files_without_match=True).collect()}
     assert fwm == {1, 2}
+    # NULL text = no matchable content -> -L lists it (round-3 ADVICE:
+    # regexp_count(NULL) is NULL, which used to fall out of the == 0 filter)
+    docs_null = spark.createDataFrame(
+        [(1, "a stream here"), (2, None)], "doc_id long, text string"
+    )
+    fwm_null = {r["doc_id"] for r in
+                grep_scan(docs_null, "stream", files_without_match=True).collect()}
+    assert fwm_null == {2}
 
 
 def test_grep_invert_and_glob_scope(spark) -> None:
@@ -252,3 +260,41 @@ def test_snippet_phrase_highlight(spark) -> None:
     words = ["fast"] + [f"w{i}" for i in range(30)] + ["table", "scan", "table", "scan"]
     got4 = snip(" ".join(words), ["table", "scan"], ["fast"], window=8)
     assert got4.count("<b>table scan</b>") == 2 and got4.startswith("...")
+
+
+def test_snippet_phrase_staged_equals_expression(spark) -> None:
+    """The staged production path (with_snippets_phrase: per-stage real
+    columns, scan-level prefilter — the round-3 ADVICE fix for the
+    O(n^2 m) one-mega-expression plan) returns exactly the rows and
+    snippets of the single-expression reference on a mixed corpus."""
+    from yams_spark.operators.grep import snippet_phrase_expr, with_snippets_phrase
+
+    corpus = [
+        (1, "a fast table scan runs here"),
+        (2, "scan the table scan"),
+        (3, "ha ha ha table"),
+        (4, "nothing relevant at all"),
+        (5, ""),
+        (6, " ".join(["fast"] + [f"w{i}" for i in range(40)]
+                     + ["table", "scan"] * 3)),
+        (7, "table without its partner"),
+        (8, "fast only"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    toks = F.expr(
+        "filter(split(lower(regexp_replace(text, '[^0-9a-zA-Z]+', ' ')), ' '), "
+        "x -> x <> '')"
+    )
+    ref = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            snippet_phrase_expr(toks, ["table", "scan"], ["fast"]).alias("s"),
+        ).collect()
+        if r["s"] is not None
+    }
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in with_snippets_phrase(docs, ["table", "scan"], ["fast"]).collect()
+    }
+    assert got == ref and len(got) == 4  # docs 1, 2, 6, 8 anchor

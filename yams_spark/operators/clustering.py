@@ -448,6 +448,7 @@ def split_oversized_components(
     labels: DataFrame,
     accepted_pairs: DataFrame,
     max_component_docs: int = 64,
+    max_packed_edges: int = 2_000_000,
 ) -> DataFrame:
     """Oversized-component split (topology_baseline.cpp:44-120): components
     larger than ``max_component_docs`` are re-grown greedily from the
@@ -457,37 +458,47 @@ def split_oversized_components(
     members no retained edge reaches become singleton sub-components
     labeled ``<component>#s:<url>`` — unique without any coordination).
 
-    Bounded at any component size: the greedy grower can consume at most
-    cap²/2 edges (every accepted edge either grows a sub-component — at
-    most cap·(n/cap) = n placements — or is skipped because both ends are
-    settled; retaining more than the strongest cap²/2 per parent cannot
-    change which members a full sub-component ends up with), so each
-    parent's edge list is pre-truncated to the top cap²/2 by weight via a
-    window partitioned on the parent BEFORE the single collect_list —
-    a 10⁸-member boilerplate component packs at most ~cap²/2 structs into
-    one task, never its full member or edge set. Members left unassigned
-    are labeled as singleton sub-components distributively (row_number per
-    parent), not inside the packed task.
+    Edge budget (a LOSSY bound): the grower also consumes edges that place
+    nobody (target sub full, both ends settled), so no constant per-parent
+    budget can guarantee the untruncated greedy's assignment — a dense
+    cap-clique alone burns ~cap²/2 edges. Each parent therefore retains the
+    strongest ``min(cap · n_members, max_packed_edges)`` edges (window
+    partitioned on the parent, BEFORE the single collect_list): linear in
+    component size, and enough that a truncated parent must have ≥ cap
+    skipped edges per member — in practice the greedy matches untruncated
+    growth far beyond the clique regime. Parents whose cap·n exceeds
+    ``max_packed_edges`` (≥ ~31k members at cap 64) are where the bound
+    becomes genuinely lossy: members only reachable through dropped weak
+    edges fall out as ``#s:`` singletons. That truncation is the price of
+    packing one boilerplate 10⁸-member component into a single bounded
+    task instead of its full edge set. Unassigned members are labeled as
+    singletons distributively (anti-join), not inside the packed task.
     """
     import pandas as pd
 
-    e_max = max(1, (max_component_docs * max_component_docs) // 2)
     sizes = labels.groupBy("component").agg(F.count("*").alias("n"))
-    big = sizes.where(F.col("n") > max_component_docs).select("component")
-    small = labels.join(big, "component", "left_anti")
+    big = sizes.where(F.col("n") > max_component_docs).select("component", "n")
+    small = labels.join(big.select("component"), "component", "left_anti")
 
-    big_members = labels.join(big, "component")
+    big_members = labels.join(big.select("component"), "component")
     labels_for_pairs = big_members.select(
         F.col("url").alias("url_a"), F.col("component").alias("comp")
     )
     ew = Window.partitionBy("comp").orderBy(
         F.col("pair_score").desc(), F.col("url_a").asc(), F.col("url_b").asc()
     )
+    parent_budget = big.select(
+        F.col("component").alias("comp"),
+        F.least(
+            F.col("n") * max_component_docs, F.lit(max_packed_edges)
+        ).alias("__e_max"),
+    )
     big_edges = (
         accepted_pairs.select("url_a", "url_b", "pair_score")
         .join(labels_for_pairs, "url_a")
         .withColumn("__rk", F.row_number().over(ew))
-        .where(F.col("__rk") <= e_max)
+        .join(parent_budget, "comp")
+        .where(F.col("__rk") <= F.col("__e_max"))
         .groupBy("comp")
         .agg(F.collect_list(F.struct("url_a", "url_b", "pair_score")).alias("prs"))
     )

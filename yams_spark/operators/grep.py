@@ -140,9 +140,13 @@ def grep_scan(
 
         out = out.where(F.col(path_col).rlike(_glob_to_rlike(path_glob)))
     if files_without_match:
+        # NULL text has no matchable content → counts as zero matches
+        # (grep -L lists it); regexp_count(NULL) is NULL, not 0
         return out.select(
             F.col(id_col),
-            F.regexp_count(F.col(text_col), F.lit(regex)).alias("n_matches"),
+            F.coalesce(
+                F.regexp_count(F.col(text_col), F.lit(regex)), F.lit(0)
+            ).alias("n_matches"),
         ).where(F.col("n_matches") == 0)
     out = _prefiltered(out, literal, text_col, ignore_case)
     return (
@@ -433,18 +437,150 @@ def with_snippets_phrase(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 16,
+    open_tag: str = "<b>",
+    close_tag: str = "</b>",
+    ellipsis: str = "...",
 ) -> DataFrame:
     """(id, snippet) with phrase-unit highlighting — the decoration column
-    for quoted-phrase queries."""
+    for quoted-phrase queries. Same semantics as ``snippet_phrase_expr``
+    (the single-expression reference, pytest-pinned equal), but STAGED:
+    each intermediate array (tokens, phrase starts, span positions, loose
+    hits, candidates, window start, opens/closes) is a real projected
+    column, so it is computed once per row instead of being re-inlined at
+    every use site — the one-mega-expression form re-evaluated the O(n·m)
+    phrase scan per candidate and per rendered token, which is O(n²·m)
+    per row (round-3 ADVICE). Multi-referenced non-cheap aliases stop
+    CollapseProject from merging the stages back. A scan-level substring
+    prefilter (phrase head or any loose term) prunes non-matching docs
+    before any tokenization."""
+    terms = terms or []
+    m = len(phrase)
+    if m < 1:
+        raise ValueError("phrase must be non-empty")
+    half = window // 2 - 1
+    terms_arr = (
+        F.array(*[F.lit(t) for t in terms])
+        if terms
+        else F.expr("array()").cast("array<string>")
+    )
+
+    # cheap necessary condition: any anchor needs the phrase head or a
+    # loose term as a substring (post-lower) — pushes as a Contains filter
+    pre = None
+    for needle in [phrase[0]] + terms:
+        c = F.contains(F.lower(F.col(text_col)), F.lit(needle))
+        pre = c if pre is None else (pre | c)
+    staged = docs.where(pre) if pre is not None else docs
+
     toks = F.expr(
         f"filter(split(lower(regexp_replace({text_col}, '[^0-9a-zA-Z]+', ' ')), ' '), "
         "x -> x <> '')"
     )
-    out = docs.select(
-        F.col(id_col),
-        snippet_phrase_expr(toks, phrase, terms, window).alias("snippet"),
+    s0 = staged.select(F.col(id_col), toks.alias("__tk"), F.size(toks).alias("__n"))
+
+    def is_start(i):
+        cond = None
+        for j, t in enumerate(phrase):
+            c = F.element_at(F.col("__tk"), i + j) == F.lit(t)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    starts = F.when(
+        F.col("__n") >= m,
+        F.filter(F.sequence(F.lit(1), F.col("__n") - m + 1), is_start),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    s1 = s0.select(id_col, "__tk", "__n", starts.alias("__starts"))
+
+    span = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("__starts"), lambda p: F.sequence(p, p + (m - 1)))
+        )
     )
-    return out.where(F.col("snippet").isNotNull())
+    s2 = s1.select(id_col, "__tk", "__n", "__starts", span.alias("__span"))
+
+    loose = F.when(
+        F.col("__n") > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.col("__n")),
+            lambda i: F.array_contains(terms_arr, F.element_at(F.col("__tk"), i))
+            & ~F.coalesce(F.array_contains(F.col("__span"), i), F.lit(False)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    s3 = s2.select(
+        id_col, "__tk", "__n", "__starts", "__span", loose.alias("__loose")
+    ).where((F.size(F.col("__starts")) + F.size(F.col("__loose"))) > 0)
+
+    max_start = F.greatest(F.col("__n") - window + 1, F.lit(1))
+    cands = F.array_distinct(
+        F.transform(
+            F.concat(F.col("__starts"), F.col("__loose")),
+            lambda p: F.least(F.greatest(p - half, F.lit(1)), max_start),
+        )
+    )
+    s4 = s3.select(
+        id_col, "__tk", "__n", "__starts", "__span", "__loose",
+        cands.alias("__cands"),
+    )
+
+    def score(s):
+        e = s + window - 1
+        full = F.filter(
+            F.col("__starts"), lambda p: (p >= s) & (p + (m - 1) <= e)
+        )
+        in_win = F.filter(F.col("__loose"), lambda i: (i >= s) & (i <= e))
+        term_cov = F.size(
+            F.array_distinct(
+                F.transform(in_win, lambda i: F.element_at(F.col("__tk"), i))
+            )
+        )
+        cov = F.when(F.size(full) > 0, 1).otherwise(0) + term_cov
+        nh = F.size(full) + F.size(in_win)
+        return F.struct(cov.alias("cov"), nh.alias("nh"), (-s).alias("negs"))
+
+    best_s = -F.array_max(F.transform(F.col("__cands"), score))["negs"]
+    s5 = s4.select(
+        id_col, "__tk", "__n", "__starts", "__span", "__loose",
+        best_s.alias("__s"),
+    )
+
+    opens = F.filter(
+        F.col("__starts"),
+        lambda p: (p >= F.col("__s"))
+        & (p + (m - 1) <= F.col("__s") + window - 1),
+    )
+    s6 = s5.select(
+        id_col, "__tk", "__n", "__span", "__s", opens.alias("__opens")
+    )
+    closes = F.transform(F.col("__opens"), lambda p: p + (m - 1))
+    s7 = s6.select(
+        id_col, "__tk", "__n", "__span", "__s", "__opens",
+        closes.alias("__closes"),
+    )
+
+    def render(i):
+        tok = F.element_at(F.col("__tk"), i)
+        base = F.when(
+            F.array_contains(terms_arr, tok)
+            & ~F.coalesce(F.array_contains(F.col("__span"), i), F.lit(False)),
+            F.concat(F.lit(open_tag), tok, F.lit(close_tag)),
+        ).otherwise(tok)
+        pre_t = F.when(
+            F.array_contains(F.col("__opens"), i), F.lit(open_tag)
+        ).otherwise(F.lit(""))
+        post_t = F.when(
+            F.array_contains(F.col("__closes"), i), F.lit(close_tag)
+        ).otherwise(F.lit(""))
+        return F.concat(pre_t, base, post_t)
+
+    e = F.col("__s") + window - 1
+    body = F.concat_ws(
+        " ", F.transform(F.sequence(F.col("__s"), F.least(e, F.col("__n"))), render)
+    )
+    pre_e = F.when(F.col("__s") > 1, F.lit(ellipsis)).otherwise(F.lit(""))
+    post_e = F.when(e < F.col("__n"), F.lit(ellipsis)).otherwise(F.lit(""))
+    return s7.select(
+        F.col(id_col), F.concat(pre_e, body, post_e).alias("snippet")
+    )
 
 
 def with_snippets(

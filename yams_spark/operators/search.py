@@ -45,43 +45,96 @@ CHUNK_AGG_TOP_K = 3  # search_engine_config.h:293
 CHUNK_AGG_DECAY = 0.6  # search_engine_config.h:294
 
 
-def build_posting_lists(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, term, tf, dl): tokenize-lower (query_text_utils.cpp:340-362)."""
-    toks = F.expr(
+def _tokens_expr(text_col: str, tokenizer: str):
+    """Token-array expression for a tokenizer name: ``ascii`` is the
+    reference CLI tokenize-lower (query_text_utils.cpp:340-362);
+    ``unicode61`` / ``porter`` are the FTS5 index tokenizer
+    (migration.cpp:1807: porter unicode61 tokenchars '_-') — porter
+    shares unicode61's split, stemming happens on the distinct
+    vocabulary after the explode."""
+    if tokenizer in ("unicode61", "porter"):
+        from yams_spark.functions.fts_tokenizer import unicode61_tokens_spark_expr
+
+        return unicode61_tokens_spark_expr(F.col(text_col))
+    if tokenizer != "ascii":
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
+    return F.expr(
         f"filter(split(lower(regexp_replace({text_col}, '[^0-9a-zA-Z]+', ' ')), ' '), "
         "x -> x <> '')"
     )
+
+
+def _stem_postings(postings: DataFrame, positional: bool) -> DataFrame:
+    """Re-key postings by Porter stem: distinct-vocabulary stemming (one
+    Arrow batch pass over |vocab| rows, joined back — AQE broadcasts the
+    stem map when small) then re-aggregate (doc, stem), summing tf and
+    merging position lists. dl is unchanged (stemming never drops or
+    splits tokens)."""
+    from yams_spark.functions.fts_tokenizer import stem_terms
+
+    vocab = postings.select("term").distinct()
+    stems = stem_terms(vocab)
+    joined = postings.join(stems, "term")
+    aggs = [F.sum("tf").alias("tf")]
+    if positional:
+        aggs.insert(
+            0,
+            F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions"),
+        )
+    return (
+        joined.groupBy("doc_id", "dl", F.col("stem").alias("term"))
+        .agg(*aggs)
+    )
+
+
+def build_posting_lists(
+    docs: DataFrame, id_col: str, text_col: str, tokenizer: str = "ascii"
+) -> DataFrame:
+    """(doc_id, term, tf, dl). ``tokenizer``: 'ascii' (default — the
+    reference CLI tokenize-lower, keeps every existing oracle unchanged),
+    'unicode61' (FTS5 unicode61, tokenchars '_-', diacritic fold), or
+    'porter' (unicode61 + Porter-stemmed terms — the reference FTS
+    index's actual tokenizer, migration.cpp:1807)."""
+    toks = _tokens_expr(text_col, tokenizer)
     d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
     d = d.withColumn("dl", F.size("tokens"))
-    return (
+    base = (
         d.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
+    if tokenizer == "porter":
+        base = _stem_postings(base, positional=False)
+    return base
 
 
-def build_positional_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def build_positional_postings(
+    docs: DataFrame, id_col: str, text_col: str, tokenizer: str = "ascii"
+) -> DataFrame:
     """(doc_id, term, positions array<int>, tf, dl): posting lists WITH
     1-based token positions — the FTS5 positional index analog that phrase
     queries need (FTS5 stores position lists per (term, doc) exactly so
     ``"a b"`` can check adjacency). One tokenize + one groupBy(doc, term)
-    shuffle; positions sorted for deterministic downstream intersection."""
-    toks = F.expr(
-        f"filter(split(lower(regexp_replace({text_col}, '[^0-9a-zA-Z]+', ' ')), ' '), "
-        "x -> x <> '')"
-    )
+    shuffle; positions sorted for deterministic downstream intersection.
+    ``tokenizer`` as in build_posting_lists; 'porter' merges the position
+    lists of same-stem terms (FTS5's porter index stores positions under
+    the stemmed term)."""
+    toks = _tokens_expr(text_col, tokenizer)
     d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
     d = d.withColumn("dl", F.size("tokens"))
     exploded = d.select(
         "doc_id", "dl", F.posexplode("tokens").alias("pos0", "term")
     )
-    return (
+    base = (
         exploded.groupBy("doc_id", "dl", "term")
         .agg(
             F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"),
             F.count("*").alias("tf"),
         )
     )
+    if tokenizer == "porter":
+        base = _stem_postings(base, positional=True)
+    return base
 
 
 def phrase_match(
