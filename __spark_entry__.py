@@ -1282,6 +1282,64 @@ def q60_unicode61_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q61/q62 fixed queries (shared between Spark entry and DuckDB oracle)
+_Q61_QUERY = "compare Spark speed versus Table rows"
+_Q62_QUERY = "en/src1 doc_7 corpus"
+_PATH_SYNTH_SPARK = (
+    "concat('/corpus/', lang, '/', source, '/doc_', cast(doc_id as string), '.txt')"
+)
+_PATH_SYNTH_DUCK = (
+    "'/corpus/' || lang || '/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt'"
+)
+
+
+def q61_kg_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG fusion component (kg_scorer_simple.cpp:132-243; weight 0.04 in
+    search_engine_config.h:82, cap kgMaxResults=100 :371): per-document
+    Jaccard overlap with the 1-hop neighborhood of the query's entities
+    over the co-mention entity graph. Query entities come from the same
+    capitalized-span extractor the documents use."""
+    _ship_package(spark)
+    from yams_spark.operators.components import kg_component
+    from yams_spark.operators.kg import (
+        build_co_mention_edges,
+        extract_doc_entities,
+        query_entity_nodes,
+    )
+
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    doc_entities = ents.select(
+        F.col("document_id").alias("doc_id"), F.col("node_key").alias("entity")
+    ).distinct()
+    edges = build_co_mention_edges(ents).select("src", "dst")
+    comp = kg_component(doc_entities, edges, query_entity_nodes(_Q61_QUERY))
+    return comp.select(
+        "doc_id", "source",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q62_path_tree_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-tree fusion component (queryPathTree,
+    search_engine.cpp:5101-5160; weight 0.08 in search_engine_config.h:81,
+    cap pathTreeMaxResults=150 :370): path seeds from the query, docs
+    scored by seed position/coverage in their (synthesized, both-sides-
+    identical) path, best seed per doc."""
+    _ship_package(spark)
+    from yams_spark.operators.components import path_tree_component
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PATH_SYNTH_SPARK).alias("path")
+    )
+    comp = path_tree_component(d, _Q62_QUERY)
+    return comp.select(
+        "doc_id", "source",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1697,17 +1755,28 @@ def er_neighbor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search (SURVEY §3.2): BM25 + vector cosine -> weighted-RRF
-    fusion -> top-10, for a fixed query over the documents table."""
+    """Hybrid search (SURVEY §3.2): the FULL component fanout — BM25 text
+    + vector cosine + kg (co-mention 1-hop overlap) + path_tree (seed
+    scoring over synthesized paths) + entity_vector (node-embedding ANN)
+    -> weighted-RRF fusion (search_engine_config.h:78-96 weights,
+    :369-377 caps) -> top-10. The query is re-cased like the KG fixture
+    so the entity extractor finds query entities; BM25 lowercases anyway."""
     _ship_package(spark)
-    import numpy as np
-
     from yams_spark.functions.sketches import feature_hash_embedding
+    from yams_spark.operators.kg import (
+        build_co_mention_edges,
+        build_kg_node_embeddings,
+        extract_doc_entities,
+    )
     from yams_spark.operators.neighbors import hybrid_search
 
     docs = _t(spark, sf_dir, "documents")
     target = docs.orderBy("doc_id").limit(1).collect()[0]
     qe = feature_hash_embedding(target["text"].split())
+    qtext = " ".join(
+        (t[0].upper() + t[1:]) if t[0] in "st" else t
+        for t in target["text"].split()[:8]
+    )
 
     def embs(iterator):
         import pandas as pd
@@ -1726,9 +1795,23 @@ def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_df = docs.select("doc_id", "text").mapInPandas(
         embs, schema="vec_id long, embedding array<float>"
     )
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    doc_entities = ents.select(
+        F.col("document_id").alias("doc_id"), F.col("node_key").alias("entity")
+    ).distinct()
+    edges = build_co_mention_edges(ents).select("src", "dst")
+    node_emb = build_kg_node_embeddings(ents, _t(spark, sf_dir, "embeddings"))
+    node_docs = ents.select(
+        "node_key", F.col("document_id").alias("doc_id")
+    ).distinct()
+    doc_paths = docs.select("doc_id", F.expr(_PATH_SYNTH_SPARK).alias("path"))
     out = hybrid_search(
-        spark, docs, query_text=" ".join(target["text"].split()[:8]),
+        spark, docs, query_text=qtext,
         query_embedding=qe, embedding_df=embedding_df, limit=10,
+        kg_doc_entities=doc_entities, kg_edges=edges,
+        doc_paths=doc_paths,
+        node_embeddings=node_emb.select("node_key", "embedding"),
+        node_docs=node_docs,
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1746,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
+        "q61_kg_component": q61_kg_component,
+        "q62_path_tree_component": q62_path_tree_component,
         "q51_hotzone_fusion": q51_hotzone_fusion,
         "q52_prefix_match": q52_prefix_match,
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
@@ -1823,6 +1908,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_tag_metadata_components": q38_tag_metadata_components,
         "q39_sgc_smoothing": q39_sgc_smoothing,
     }
+
+
+def _q61_oracle_sql() -> str:
+    """kg_component restated: co-mention edges + 1-hop hood + Jaccard,
+    query nodes computed by the SAME extractor the Spark path uses."""
+    from yams_spark.operators.kg import query_entity_nodes
+
+    seeds = ", ".join(f"('{n}')" for n in query_entity_nodes(_Q61_QUERY))
+    return f"""
+        WITH p AS (SELECT doc_id, {_KG_CAP_DUCK} AS ptext FROM documents),
+        m AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(ptext, '{_KG_PATTERN_DUCK}')) AS e
+            FROM p),
+        de AS (
+            SELECT DISTINCT doc_id, 'nl_entity:span:' || lower(e) AS entity
+            FROM m WHERE length(e) >= 3),
+        pairs AS (
+            SELECT DISTINCT a.entity AS src, b.entity AS dst
+            FROM de a JOIN de b ON a.doc_id = b.doc_id
+            WHERE a.entity < b.entity),
+        edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL SELECT dst, src FROM pairs),
+        seeds AS (SELECT * FROM (VALUES {seeds}) t(node)),
+        hood AS (
+            SELECT node FROM seeds
+            UNION
+            SELECT edges.dst AS node FROM edges JOIN seeds ON edges.src = seeds.node),
+        nh AS (SELECT COUNT(*) AS n_hood FROM hood),
+        ds AS (SELECT doc_id, COUNT(DISTINCT entity) AS n_doc FROM de GROUP BY doc_id),
+        it AS (
+            SELECT doc_id, COUNT(DISTINCT entity) AS n_inter
+            FROM de JOIN hood ON de.entity = hood.node GROUP BY doc_id),
+        sc AS (
+            SELECT ds.doc_id,
+                   CASE WHEN ds.n_doc + nh.n_hood - COALESCE(it.n_inter, 0) > 0
+                        THEN COALESCE(it.n_inter, 0)
+                             / (ds.n_doc + nh.n_hood - COALESCE(it.n_inter, 0))
+                        ELSE 0.0 END AS kg_score
+            FROM ds CROSS JOIN nh LEFT JOIN it USING (doc_id)),
+        r AS (
+            SELECT doc_id, kg_score,
+                   ROW_NUMBER() OVER (ORDER BY kg_score DESC, doc_id ASC) AS rk
+            FROM sc WHERE kg_score > 0)
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'kg' AS source,
+               CAST(ROUND(kg_score, 6) AS DOUBLE) AS score,
+               CAST(rk - 1 AS BIGINT) AS "rank"
+        FROM r WHERE rk <= 100
+    """
+
+
+def _q62_oracle_sql() -> str:
+    """path_tree_component restated: the seed list (text, weight) comes
+    from the SAME build_path_seeds the Spark path uses."""
+    from yams_spark.operators.components import build_path_seeds
+
+    branches = []
+    for text, _kind, weight in build_path_seeds(_Q62_QUERY):
+        seed = text.lower()
+        plen = "length(lower(path))"
+        pos = f"strpos(lower(path), '{seed}')"
+        score = (
+            f"least(greatest({weight!r} * (0.56 "
+            f"+ (1.0 - CAST({pos} - 1 AS DOUBLE) / {plen}) * 0.18 "
+            f"+ (CAST(least({len(seed)}, {plen}) AS DOUBLE) "
+            f"/ greatest(1, {plen})) * 0.26), 0.0), 1.0)"
+        )
+        branches.append(
+            f"SELECT doc_id, {score} AS seed_score FROM d WHERE {pos} > 0"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+        WITH d AS (SELECT doc_id, {_PATH_SYNTH_DUCK} AS path FROM documents),
+        cand AS ({union}),
+        best AS (SELECT doc_id, MAX(seed_score) AS score FROM cand GROUP BY doc_id),
+        r AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+            FROM best)
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'path_tree' AS source,
+               CAST(ROUND(score, 6) AS DOUBLE) AS score,
+               CAST(rk - 1 AS BIGINT) AS "rank"
+        FROM r WHERE rk <= 150
+    """
 
 
 def _q59_oracle_sql() -> str:
@@ -3017,6 +3187,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q59_stemmed_search": _q59_oracle_sql(),
         "q60_unicode61_tokens": _q60_oracle_sql(),
+        "q61_kg_component": _q61_oracle_sql(),
+        "q62_path_tree_component": _q62_oracle_sql(),
         "q58_snippet_phrase": f"""
             -- every stage MATERIALIZED: DuckDB inlines single-reference
             -- CTEs, which re-expands each list expression at every use

@@ -224,6 +224,40 @@ def build_kg_edges(doc_entities: DataFrame) -> DataFrame:
     )
 
 
+def build_co_mention_edges(doc_entities: DataFrame) -> DataFrame:
+    """(src, dst, n_docs) symmetric entity–entity co-mention edges: two
+    entity nodes are related when some document mentions both (the
+    entity-relatedness signal the reference's KG scorer walks; its graph
+    additionally holds typed edges from richer extractors). One per-doc
+    self-join — per-document entity sets are small (spans of one page),
+    so the join fans out per doc, never corpus².
+    """
+    m = doc_entities.select("document_id", "node_key").distinct()
+    a = m.select("document_id", F.col("node_key").alias("src"))
+    b = m.select("document_id", F.col("node_key").alias("dst"))
+    pairs = (
+        a.join(b, "document_id")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("document_id").alias("n_docs"))
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "n_docs")
+    )
+
+
+def query_entity_nodes(query_text: str, min_chars: int = MIN_ENTITY_CHARS) -> list[str]:
+    """Entity node keys extracted from ONE query string with the same
+    capitalized-span heuristic the document side uses (the reference runs
+    its concept extractor over the query, kg_scorer_simple.cpp:132-160).
+    Driver-side: a query is a single short string."""
+    return [
+        f"nl_entity:{ENTITY_TYPE}:{m.group(0).lower()}"
+        for m in _ENTITY_RE.finditer(query_text)
+        if len(m.group(0)) >= min_chars
+    ]
+
+
 def build_kg_node_embeddings(
     doc_entities: DataFrame,
     doc_embeddings: DataFrame,

@@ -114,6 +114,11 @@ def hybrid_search(
     hotzone_weight: float = 0.0,
     include_snippets: bool = False,
     snippet_window: int = 16,
+    kg_doc_entities: DataFrame | None = None,
+    kg_edges: DataFrame | None = None,
+    doc_paths: DataFrame | None = None,
+    node_embeddings: DataFrame | None = None,
+    node_docs: DataFrame | None = None,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
@@ -209,6 +214,30 @@ def hybrid_search(
 
         components = components.unionByName(
             metadata_component(doc_metadata, metadata_filters, limit=limit * 5)
+        )
+
+    # kg / path_tree / entity_vector evidence (search_engine_config.h:81-94
+    # weights; per-component caps :369-377) — appended like any source
+    if kg_doc_entities is not None and kg_edges is not None:
+        from yams_spark.operators.components import kg_component
+        from yams_spark.operators.kg import query_entity_nodes
+
+        qnodes = query_entity_nodes(query_text)
+        if qnodes:
+            components = components.unionByName(
+                kg_component(kg_doc_entities, kg_edges, qnodes)
+            )
+    if doc_paths is not None:
+        from yams_spark.operators.components import path_tree_component
+
+        components = components.unionByName(
+            path_tree_component(doc_paths, query_text)
+        )
+    if node_embeddings is not None and node_docs is not None and query_embedding is not None:
+        from yams_spark.operators.components import entity_vector_component
+
+        components = components.unionByName(
+            entity_vector_component(query_embedding, node_embeddings, node_docs)
         )
 
     fused = fuse_evidence(components, weights=weights)
