@@ -837,19 +837,26 @@ def q42_resolve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deterministic KG fixture: the synthetic corpus is all-lowercase, so the
 # capitalized-span extractor needs a re-cased page view — title-case every
-# token starting with 's'/'t' (adjacent ones become multi-word spans).
-# Stated once, identically, for Spark and DuckDB.
+# token starting with 's'/'t' (adjacent ones become multi-word spans) and
+# fully uppercase tokens starting with 'm' (acronym-class entities, the
+# extractor's NASA path). Stated once, identically, for Spark and DuckDB.
 _KG_CAP_SPARK = (
     "array_join(transform(filter(split(text, ' '), x -> x <> ''), "
     "x -> CASE WHEN substring(x, 1, 1) IN ('s', 't') "
-    "THEN concat(upper(substring(x, 1, 1)), substring(x, 2)) ELSE x END), ' ')"
+    "THEN concat(upper(substring(x, 1, 1)), substring(x, 2)) "
+    "WHEN substring(x, 1, 1) = 'm' THEN upper(x) ELSE x END), ' ')"
 )
 _KG_CAP_DUCK = (
     "array_to_string(list_transform(list_filter(string_split(text, ' '), "
     "x -> x <> ''), x -> CASE WHEN substr(x, 1, 1) IN ('s', 't') "
-    "THEN upper(substr(x, 1, 1)) || substr(x, 2) ELSE x END), ' ')"
+    "THEN upper(substr(x, 1, 1)) || substr(x, 2) "
+    "WHEN substr(x, 1, 1) = 'm' THEN upper(x) ELSE x END), ' ')"
 )
-_KG_PATTERN_DUCK = "[A-Z][a-z]+(?: [A-Z][a-z]+)*"
+# capitalized/acronym span pattern — MUST equal operators.kg.ENTITY_PATTERN
+# (pytest-pinned); restated literally so oracle SQL builds without imports
+_KG_PATTERN_DUCK = (
+    "[A-ZÀ-ÖØ-Þ]+[a-zß-öø-ÿ]*(?: [A-ZÀ-ÖØ-Þ]+[a-zß-öø-ÿ]*)*"
+)
 
 
 def _kg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

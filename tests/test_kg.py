@@ -49,6 +49,62 @@ def test_extraction_matches_finditer(spark) -> None:
     assert any(e == "Abc" for _, e, _, _ in got)
 
 
+def test_extraction_acronyms_and_unicode(spark) -> None:
+    """Widened span classes: all-caps acronyms ("NASA") and Latin-1
+    accented names are entities; × / ÷ stay separators (unicode61 treats
+    accented letters as token chars, the two non-letters as not)."""
+    docs = spark.createDataFrame(
+        [(1, "NASA launched Apollo Today"),
+         (2, "Åsa Ärlig meets ØYVIND and Þor"),
+         (3, "size×weight is ÷ no entity")],
+        "doc_id long, text string",
+    )
+    got = {r["entity_text"]: r for r in extract_doc_entities(docs).collect()}
+    assert got["NASA"]["node_key"] == "nl_entity:span:nasa"
+    assert got["NASA"]["confidence"] == 0.75
+    assert "Apollo Today" in got
+    assert got["Åsa Ärlig"]["node_key"] == "nl_entity:span:åsa ärlig"
+    assert "ØYVIND" in got and "Þor" in got
+    assert not any("×" in e or "÷" in e for e in got)
+
+
+def test_entity_pattern_cross_engine_parity() -> None:
+    """Python re and DuckDB RE2 must produce IDENTICAL match lists for
+    ENTITY_PATTERN (only greedy character-class quantifiers, no
+    alternation/lookaround), and the entry's restated oracle pattern must
+    be the same string — this is what keeps q43-q45/q61 oracle-green."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    assert entry._KG_PATTERN_DUCK == ENTITY_PATTERN
+    con = duckdb.connect()
+    cases = [
+        "NASA launched Apollo Today",
+        "the NAsa NASAlaunch ÉcoleNormale École Normale",
+        "I Am Groot A B CD Ef",
+        "Åsa Ärlig meets ØYVIND and Þor",
+        "mixed ÀÖ×Øß÷øÿ bounds × ÷ test",
+        "TCP-based Path To NOWHERE fast",
+        "ALL CAPS RUN here",
+    ] + [t for _, t in TEXTS if t]
+    for c in cases:
+        py = [m.group(0) for m in re.finditer(ENTITY_PATTERN, c)]
+        dk = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [c, ENTITY_PATTERN]
+        ).fetchone()[0]
+        assert py == dk, c
+
+
+def test_query_entity_nodes() -> None:
+    from yams_spark.operators.kg import query_entity_nodes
+
+    assert query_entity_nodes("compare NASA speed versus Table rows") == [
+        "nl_entity:span:nasa", "nl_entity:span:table",
+    ]
+    assert query_entity_nodes("no capitals at all") == []
+
+
 def test_node_key_and_confidence(spark) -> None:
     docs = spark.createDataFrame(TEXTS, "doc_id long, text string")
     ents = extract_doc_entities(docs)

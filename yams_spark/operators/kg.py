@@ -19,10 +19,14 @@ and node/alias/edge construction in
 The reference extractor is a GLiNER ONNX model; model inference is out of
 scope here, so the extractor is the deterministic capitalized-span
 heuristic (the same determinism-over-fidelity policy as the feature-hash
-embedding stand-in): entities are maximal runs of capitalized words
-(``[A-Z][a-z]+( [A-Z][a-z]+)*``, >= 3 chars), confidence grows with span
-length. The heuristic is reproducible in DuckDB SQL, which makes the whole
-stage oracle-checkable end-to-end.
+embedding stand-in): entities are maximal runs of capitalized/acronym
+words — each word is uppercase letters followed by optional lowercase
+(``[A-Z..]+[a-z..]*``), so "NASA", "Table" and "Åsa Ärlig" all match —
+over the Latin-1 letter ranges (unicode61 treats accented letters as
+token characters, never separators); spans >= 3 chars, confidence grows
+with span length. The pattern uses only greedy character-class
+quantifiers, so Python re and DuckDB RE2 produce identical match lists
+(pytest-pinned), keeping the whole stage oracle-checkable end-to-end.
 
 Scale shape: extraction is one narrow Arrow pass (mapInPandas, no
 shuffle); every table derives from the mentions table via groupBy on
@@ -38,8 +42,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: capitalized-span entity heuristic (deterministic GLiNER stand-in)
-ENTITY_PATTERN = r"[A-Z][a-z]+(?: [A-Z][a-z]+)*"
+#: unicode61-consistent letter classes (Latin + Latin-1 supplement,
+#: excluding the × U+00D7 / ÷ U+00F7 non-letters splitting the ranges)
+UPPER_CLASS = "A-ZÀ-ÖØ-Þ"
+LOWER_CLASS = "a-zß-öø-ÿ"
+#: capitalized/acronym-span entity heuristic (deterministic GLiNER
+#: stand-in): words are caps-run + optional lowercase tail, so plain
+#: capitalized words AND all-caps acronyms ("NASA") both match
+ENTITY_PATTERN = (
+    rf"[{UPPER_CLASS}]+[{LOWER_CLASS}]*(?: [{UPPER_CLASS}]+[{LOWER_CLASS}]*)*"
+)
 #: minimum surface length (drops bare 2-char words like "Ab")
 MIN_ENTITY_CHARS = 3
 #: node-key scheme, PostIngestQueue.cpp:2651 ("nl_entity:" + type + ":" + normalized)
