@@ -1347,6 +1347,98 @@ def q62_path_tree_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_simeon_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simeon lexical backend analog (simeon_lexical_backend.cpp: PMI
+    concept model :604-620, z-scored blend + out-of-pool reconcile
+    :63-88; weight simeon_text=0.15, search_engine_config.h:79): PMI
+    concepts mined from document co-occurrence, pool docs scored by
+    z(bm25)/z(concept) blend, non-pool candidates below the floor via
+    the saturating BM25 map."""
+    _ship_package(spark)
+    from yams_spark.operators.search import build_posting_lists
+    from yams_spark.operators.simeon import simeon_text_component
+
+    d = _t(spark, sf_dir, "documents")
+    postings = build_posting_lists(d, "doc_id", "text")
+    comp = simeon_text_component(postings, list(_BM25_TERMS), limit=100)
+    return comp.select(
+        "doc_id", "source",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q64_facet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate facets (search_facets.cpp:33-43,78-97: input capped
+    under load, facetsApproximate flagged): deterministic sha256-prefix
+    sample (1/16) with counts scaled back, per-field (count desc, value
+    asc) ranking — the Spark recast samples by content hash instead of
+    ranked prefix so no global sort is paid."""
+    _ship_package(spark)
+    from yams_spark.operators.facets import facet_counts
+
+    d = _t(spark, sf_dir, "documents")
+    out = facet_counts(d, ["lang", "source"], sample_hex_digits=1)
+    return out.select(
+        "field", "value", F.col("n").cast("long").alias("n"),
+        F.col("rk").cast("long").alias("rk"), "approximate",
+    )
+
+
+_Q65_QUERY = "table scan make"
+
+
+def _q65_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yams_spark.operators.graph_expansion import (
+        co_mention_relation_edges,
+        graph_expansion_terms,
+    )
+    from yams_spark.operators.kg import (
+        build_co_mention_edges,
+        build_kg_aliases,
+        build_kg_nodes,
+        extract_doc_entities,
+    )
+
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    nodes = build_kg_nodes(ents, include_doc_nodes=False)
+    aliases = build_kg_aliases(ents)
+    edges = co_mention_relation_edges(build_co_mention_edges(ents))
+    return graph_expansion_terms(_Q65_QUERY, aliases, nodes, edges)
+
+
+def q65_graph_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG query expansion (generateGraphExpansionTerms,
+    graph_expansion.cpp:324-480): query surfaces resolve to seed nodes
+    via exact alias match, seeds + 1-hop co-mention neighbors emit their
+    alias surfaces with relation/edge/source weighting, max per term,
+    top 12."""
+    _ship_package(spark)
+    out = _q65_terms(spark, sf_dir)
+    return out.select(
+        "term", F.round("score", 6).cast("double").alias("score")
+    )
+
+
+def q66_graph_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_text fusion component (search_lexical_pipeline.cpp:50-66;
+    penalty 0.78 + admission floor, search_engine_config.h:365-367):
+    disjunctive BM25 re-query over the q65 expansion terms,
+    range-normalized, penalized, floored."""
+    _ship_package(spark)
+    from yams_spark.operators.graph_expansion import graph_text_component
+    from yams_spark.operators.search import build_posting_lists
+
+    terms = [r["term"] for r in _q65_terms(spark, sf_dir).collect()]
+    postings = build_posting_lists(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    comp = graph_text_component(postings, terms, limit=150)
+    return comp.select(
+        "doc_id", "source",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1762,7 +1854,8 @@ def er_neighbor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search (SURVEY §3.2): the FULL component fanout — BM25 text
+    """Hybrid search (SURVEY §3.2): the FULL 9-component fanout — BM25
+    text + simeon (PMI z-blend) + graph_text/graph_vector (KG expansion)
     + vector cosine + kg (co-mention 1-hop overlap) + path_tree (seed
     scoring over synthesized paths) + entity_vector (node-embedding ANN)
     -> weighted-RRF fusion (search_engine_config.h:78-96 weights,
@@ -1770,9 +1863,12 @@ def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the entity extractor finds query entities; BM25 lowercases anyway."""
     _ship_package(spark)
     from yams_spark.functions.sketches import feature_hash_embedding
+    from yams_spark.operators.graph_expansion import co_mention_relation_edges
     from yams_spark.operators.kg import (
         build_co_mention_edges,
+        build_kg_aliases,
         build_kg_node_embeddings,
+        build_kg_nodes,
         extract_doc_entities,
     )
     from yams_spark.operators.neighbors import hybrid_search
@@ -1806,12 +1902,19 @@ def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_entities = ents.select(
         F.col("document_id").alias("doc_id"), F.col("node_key").alias("entity")
     ).distinct()
-    edges = build_co_mention_edges(ents).select("src", "dst")
+    co = build_co_mention_edges(ents)
+    edges = co.select("src", "dst")
     node_emb = build_kg_node_embeddings(ents, _t(spark, sf_dir, "embeddings"))
     node_docs = ents.select(
         "node_key", F.col("document_id").alias("doc_id")
     ).distinct()
     doc_paths = docs.select("doc_id", F.expr(_PATH_SYNTH_SPARK).alias("path"))
+    kg_tables = {
+        "kg_nodes": build_kg_nodes(ents, include_doc_nodes=False),
+        "kg_aliases": build_kg_aliases(ents),
+        "kg_rel_edges": co_mention_relation_edges(co),
+        "kg_node_embeddings": node_emb.select("node_key", "embedding"),
+    }
     out = hybrid_search(
         spark, docs, query_text=qtext,
         query_embedding=qe, embedding_df=embedding_df, limit=10,
@@ -1819,6 +1922,8 @@ def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_paths=doc_paths,
         node_embeddings=node_emb.select("node_key", "embedding"),
         node_docs=node_docs,
+        enable_simeon=True,
+        kg_tables=kg_tables,
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1838,6 +1943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_unicode61_tokens": q60_unicode61_tokens,
         "q61_kg_component": q61_kg_component,
         "q62_path_tree_component": q62_path_tree_component,
+        "q63_simeon_pmi": q63_simeon_pmi,
+        "q64_facet_sampled": q64_facet_sampled,
+        "q65_graph_expansion_terms": q65_graph_expansion_terms,
+        "q66_graph_text": q66_graph_text,
         "q51_hotzone_fusion": q51_hotzone_fusion,
         "q52_prefix_match": q52_prefix_match,
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
@@ -1996,6 +2105,142 @@ def _q62_oracle_sql() -> str:
                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
             FROM best)
         SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'path_tree' AS source,
+               CAST(ROUND(score, 6) AS DOUBLE) AS score,
+               CAST(rk - 1 AS BIGINT) AS "rank"
+        FROM r WHERE rk <= 150
+    """
+
+
+def _q65_expansion_cte() -> str:
+    """Shared CTE chain restating graph_expansion_terms (seed resolution →
+    1-hop contribution → alias surfaces → top-12 terms); query tokens come
+    from the SAME kg_query_tokens the Spark path uses."""
+    from yams_spark.operators.graph_expansion import kg_query_tokens
+
+    toks = ", ".join(f"('{t}')" for t in kg_query_tokens(_Q65_QUERY))
+    return f"""
+        p AS (SELECT doc_id, {_KG_CAP_DUCK} AS ptext FROM documents),
+        m AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(ptext, '{_KG_PATTERN_DUCK}')) AS e
+            FROM p),
+        ent AS (
+            SELECT DISTINCT 'nl_entity:span:' || lower(e) AS node_key,
+                   e AS entity_text
+            FROM m WHERE length(e) >= 3),
+        av AS (
+            SELECT node_key, entity_text AS alias, 'surface' AS source,
+                   1.0 AS confidence FROM ent
+            UNION ALL
+            SELECT node_key, lower(entity_text), 'lower', 0.9 FROM ent
+            UNION ALL
+            SELECT node_key,
+                   array_to_string(list_transform(
+                       string_split(entity_text, ' '), w -> substr(w, 1, 1)), ''),
+                   'acronym', 0.7
+            FROM ent WHERE len(string_split(entity_text, ' ')) >= 2),
+        al2 AS (
+            SELECT node_key, alias, arg_max(source, confidence) AS source,
+                   MAX(confidence) AS confidence
+            FROM av GROUP BY node_key, alias),
+        aln AS (
+            SELECT node_key, lower(alias) AS alias_norm, source, confidence
+            FROM al2),
+        de AS (
+            SELECT DISTINCT doc_id, 'nl_entity:span:' || lower(e) AS entity
+            FROM m WHERE length(e) >= 3),
+        prs AS (
+            SELECT a.entity AS src, b.entity AS dst,
+                   COUNT(DISTINCT a.doc_id) AS n_docs
+            FROM de a JOIN de b ON a.doc_id = b.doc_id
+            WHERE a.entity < b.entity GROUP BY a.entity, b.entity),
+        edges AS (
+            SELECT src, dst, n_docs FROM prs
+            UNION ALL SELECT dst, src, n_docs FROM prs),
+        qtok AS (SELECT * FROM (VALUES {toks}) t(tok)),
+        seeds0 AS (
+            SELECT aln.node_key, MAX(aln.confidence * 0.6) AS seed_score
+            FROM aln JOIN qtok ON aln.alias_norm = qtok.tok
+            GROUP BY aln.node_key),
+        seeds AS (
+            SELECT node_key, seed_score FROM seeds0
+            ORDER BY seed_score DESC, node_key ASC LIMIT 8),
+        selfc AS (SELECT node_key, seed_score AS base, 1.0 AS factor FROM seeds),
+        nb0 AS (
+            SELECT e.src, e.dst AS node_key, s.seed_score AS base,
+                   0.5 * least(greatest(e.n_docs / (e.n_docs + 1.0), 0.1), 1.0)
+                       AS factor
+            FROM edges e JOIN seeds s ON e.src = s.node_key),
+        nb AS (
+            SELECT node_key, base, factor FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY src ORDER BY factor DESC, node_key ASC) AS rk
+                FROM nb0)
+            WHERE rk <= 16),
+        contrib AS (SELECT * FROM selfc UNION ALL SELECT * FROM nb),
+        na AS (
+            SELECT node_key, alias_norm,
+                   least(greatest(confidence, 0.2), 1.0) *
+                   CASE source WHEN 'surface' THEN 1.0 WHEN 'lower' THEN 0.75
+                        WHEN 'acronym' THEN 0.70 ELSE 0.75 END AS alias_w
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY node_key
+                    ORDER BY confidence DESC, alias_norm ASC) AS ark
+                FROM aln)
+            WHERE ark <= 8),
+        trm AS (
+            SELECT na.alias_norm AS term,
+                   MAX(c.base * c.factor * 0.6 * na.alias_w) AS score
+            FROM contrib c JOIN na ON c.node_key = na.node_key
+            WHERE length(na.alias_norm) >= 3
+            GROUP BY na.alias_norm),
+        topterms AS (
+            SELECT term, score FROM trm ORDER BY score DESC, term ASC LIMIT 12)
+    """
+
+
+def _q66_oracle_sql(tok: str) -> str:
+    """graph_text restated: OR-BM25 over the q65 terms, the reference's
+    negated-range normalization stated literally (lexical_scoring.cpp
+    path via normalize_bm25), × 0.78 penalty, 0.0010 admission floor."""
+    return f"""
+        WITH {_q65_expansion_cte()},
+        d0 AS (SELECT doc_id, {tok} AS tokens FROM documents),
+        dd2 AS (
+            SELECT doc_id, CAST(len(tokens) AS DOUBLE) AS dl, tokens
+            FROM d0 WHERE len(tokens) > 0),
+        pt2 AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(tokens) AS term FROM dd2)
+            GROUP BY doc_id, dl, term),
+        corpus2 AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd2),
+        tfg AS (SELECT pt2.* FROM pt2 JOIN topterms ON pt2.term = topterms.term),
+        dfg AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfg GROUP BY term),
+        sc AS (
+            SELECT doc_id, SUM(
+                ln(1.0 + (corpus2.n_docs - dfg.df + 0.5) / (dfg.df + 0.5))
+                * tfg.tf * 2.2
+                / (tfg.tf + 1.2 * (0.25 + 0.75 * tfg.dl / corpus2.avgdl))
+            ) AS bm25
+            FROM tfg JOIN dfg USING (term) CROSS JOIN corpus2
+            GROUP BY doc_id),
+        rngb AS (SELECT MIN(-bm25) AS mnn, MAX(-bm25) AS mxn FROM sc),
+        nrm AS (
+            SELECT doc_id,
+                   least(greatest(
+                       CASE WHEN mxn > mnn
+                            THEN 1.0 - ((-bm25) - mnn) / (mxn - mnn)
+                            ELSE bm25 / 25.0 END, 0.0), 1.0) AS n
+            FROM sc CROSS JOIN rngb),
+        g AS (
+            SELECT doc_id, n * 0.78 AS score FROM nrm
+            WHERE n * 0.78 >= 0.0010),
+        r AS (
+            SELECT doc_id, score, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rk
+            FROM g)
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'graph_text' AS source,
                CAST(ROUND(score, 6) AS DOUBLE) AS score,
                CAST(rk - 1 AS BIGINT) AS "rank"
         FROM r WHERE rk <= 150
@@ -3196,6 +3441,116 @@ def oracle_sql() -> dict[str, str]:
         "q60_unicode61_tokens": _q60_oracle_sql(),
         "q61_kg_component": _q61_oracle_sql(),
         "q62_path_tree_component": _q62_oracle_sql(),
+        "q65_graph_expansion_terms": f"""
+            WITH {_q65_expansion_cte()}
+            SELECT term, CAST(ROUND(score, 6) AS DOUBLE) AS score
+            FROM topterms
+        """,
+        "q66_graph_text": _q66_oracle_sql(tok),
+        "q64_facet_sampled": """
+            WITH s AS (
+                SELECT * FROM documents
+                WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+            c AS (
+                SELECT 'lang' AS field, lang AS value, COUNT(*) * 16 AS n
+                FROM s WHERE lang IS NOT NULL AND lang <> '' GROUP BY lang
+                UNION ALL
+                SELECT 'source' AS field, source AS value, COUNT(*) * 16 AS n
+                FROM s WHERE source IS NOT NULL AND source <> '' GROUP BY source)
+            SELECT field, value, CAST(n AS BIGINT) AS n,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY field ORDER BY n DESC, value ASC
+                   ) AS BIGINT) AS rk,
+                   TRUE AS approximate
+            FROM c
+        """,
+        "q63_simeon_pmi": f"""
+            WITH d0 AS (SELECT doc_id, {tok} AS tokens FROM documents),
+            dd AS (
+                SELECT doc_id, CAST(len(tokens) AS DOUBLE) AS dl, tokens
+                FROM d0 WHERE len(tokens) > 0),
+            pt AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                    SELECT doc_id, dl, unnest(tokens) AS term FROM dd)
+                GROUP BY doc_id, dl, term),
+            corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+            tfq AS (SELECT * FROM pt WHERE term IN ({bm25_terms})),
+            dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfq GROUP BY term),
+            bm25_all AS (
+                SELECT doc_id, SUM(
+                    ln(1.0 + (corpus.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                    * tfq.tf * 2.2
+                    / (tfq.tf + 1.2 * (0.25 + 0.75 * tfq.dl / corpus.avgdl))
+                ) AS bm25
+                FROM tfq JOIN dfq USING (term) CROSS JOIN corpus
+                GROUP BY doc_id),
+            pool_ids AS (
+                SELECT doc_id FROM tfq GROUP BY doc_id
+                HAVING COUNT(DISTINCT term) = {len(_BM25_TERMS)}),
+            dt AS (SELECT DISTINCT doc_id, term FROM pt),
+            ndf AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+            nt AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+            q AS (SELECT term AS qterm, doc_id FROM dt WHERE term IN ({bm25_terms})),
+            co AS (
+                SELECT q.qterm, dt.term, COUNT(*) AS df12
+                FROM q JOIN dt USING (doc_id)
+                WHERE dt.term NOT IN ({bm25_terms})
+                GROUP BY q.qterm, dt.term HAVING COUNT(*) >= 2),
+            pp AS (
+                SELECT co.qterm, co.term,
+                       ln(CAST(df12 AS DOUBLE) * nt.n
+                          / (f1.df * CAST(f2.df AS DOUBLE))) AS pmi
+                FROM co JOIN ndf f1 ON f1.term = co.qterm
+                        JOIN ndf f2 ON f2.term = co.term CROSS JOIN nt),
+            topc AS (
+                SELECT term, pmi, ROW_NUMBER() OVER (
+                    PARTITION BY qterm ORDER BY pmi DESC, term ASC) AS rk
+                FROM pp WHERE pmi > 0),
+            concepts AS (
+                SELECT term, MAX(pmi) AS pmi FROM topc WHERE rk <= 8 GROUP BY term),
+            cscore AS (
+                SELECT pt.doc_id, SUM(c.pmi * ln(1.0 + pt.tf)) AS cscore
+                FROM pt JOIN concepts c ON pt.term = c.term GROUP BY pt.doc_id),
+            pool AS (
+                SELECT p.doc_id, b.bm25, COALESCE(cs.cscore, 0.0) AS cscore
+                FROM pool_ids p JOIN bm25_all b USING (doc_id)
+                LEFT JOIN cscore cs USING (doc_id)),
+            stats AS (
+                SELECT AVG(bm25) AS mb, stddev_pop(bm25) AS sb,
+                       AVG(cscore) AS mc, stddev_pop(cscore) AS sc FROM pool),
+            blended AS (
+                SELECT doc_id,
+                       0.5 * (CASE WHEN sb > 0 THEN (bm25 - mb) / sb ELSE 0.0 END)
+                     + 0.5 * (CASE WHEN sc > 0 THEN (cscore - mc) / sc ELSE 0.0 END)
+                       AS blend
+                FROM pool CROSS JOIN stats),
+            floorv AS (SELECT MIN(blend) AS pool_floor FROM blended),
+            outd AS (
+                SELECT u.doc_id,
+                       COALESCE(f.pool_floor, 0.0) - 1.0
+                       + CASE WHEN COALESCE(b.bm25, 0.0) > 0
+                              THEN b.bm25 / (b.bm25 + 1.0) ELSE 0.0 END AS blend
+                FROM (SELECT doc_id FROM cscore
+                      UNION SELECT doc_id FROM bm25_all) u
+                LEFT JOIN bm25_all b USING (doc_id) CROSS JOIN floorv f
+                WHERE u.doc_id NOT IN (SELECT doc_id FROM pool_ids)),
+            allrows AS (SELECT * FROM blended UNION ALL SELECT * FROM outd),
+            rng AS (SELECT MIN(blend) AS mn, MAX(blend) AS mx FROM allrows),
+            normed AS (
+                SELECT doc_id,
+                       CASE WHEN mx > mn THEN (blend - mn) / (mx - mn)
+                            ELSE 1.0 END AS score,
+                       blend
+                FROM allrows CROSS JOIN rng),
+            r AS (
+                SELECT doc_id, score,
+                       ROW_NUMBER() OVER (ORDER BY blend DESC, doc_id ASC) AS rk
+                FROM normed)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'simeon_text' AS source,
+                   CAST(ROUND(score, 6) AS DOUBLE) AS score,
+                   CAST(rk - 1 AS BIGINT) AS "rank"
+            FROM r WHERE rk <= 100
+        """,
         "q58_snippet_phrase": f"""
             -- every stage MATERIALIZED: DuckDB inlines single-reference
             -- CTEs, which re-expands each list expression at every use

@@ -119,6 +119,8 @@ def hybrid_search(
     doc_paths: DataFrame | None = None,
     node_embeddings: DataFrame | None = None,
     node_docs: DataFrame | None = None,
+    enable_simeon: bool = False,
+    kg_tables: dict | None = None,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
@@ -239,6 +241,59 @@ def hybrid_search(
         components = components.unionByName(
             entity_vector_component(query_embedding, node_embeddings, node_docs)
         )
+    if enable_simeon and terms:
+        from yams_spark.operators.simeon import simeon_text_component
+
+        components = components.unionByName(
+            simeon_text_component(postings, terms)
+        )
+    # graph expansion (graph_expansion.cpp): kg_tables is a populate_kg()
+    # output dict (kg_nodes/kg_aliases + relation edges under 'kg_rel_edges';
+    # optional 'kg_node_embeddings' enables graph_vector)
+    if kg_tables is not None:
+        from yams_spark.operators.graph_expansion import (
+            graph_expansion_terms,
+            graph_text_component,
+            graph_vector_component,
+        )
+
+        exp = graph_expansion_terms(
+            query_text,
+            kg_tables["kg_aliases"],
+            kg_tables["kg_nodes"],
+            kg_tables["kg_rel_edges"],
+        )
+        exp_rows = exp.collect()  # bounded: <= max_terms scalars
+        exp_terms = [r["term"] for r in exp_rows]
+        if exp_terms:
+            components = components.unionByName(
+                graph_text_component(postings, exp_terms)
+            )
+        if (
+            exp_rows
+            and embedding_df is not None
+            and kg_tables.get("kg_node_embeddings") is not None
+        ):
+            seeds = spark.createDataFrame(
+                [(r["term"], float(r["score"])) for r in exp_rows],
+                "alias_norm string, exp_score double",
+            )
+            # seed nodes for the vector leg: nodes whose alias produced a
+            # surviving expansion term, weighted by that term's score
+            seed_nodes = (
+                kg_tables["kg_aliases"]
+                .select("node_key", F.lower(F.col("alias")).alias("alias_norm"))
+                .join(F.broadcast(seeds), "alias_norm")
+                .groupBy("node_key")
+                .agg(F.max("exp_score").alias("seed_score"))
+            )
+            components = components.unionByName(
+                graph_vector_component(
+                    seed_nodes,
+                    kg_tables["kg_node_embeddings"].select("node_key", "embedding"),
+                    embedding_df,
+                )
+            )
 
     fused = fuse_evidence(components, weights=weights)
     if hotzone_df is not None and hotzone_weight > 0.0:
