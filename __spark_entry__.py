@@ -1439,6 +1439,145 @@ def q66_graph_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_chunk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk coverage grouping (chunk_coverage.cpp:18-70): chunk-level
+    hits grouped by the base id before '#', duplicate chunk ids
+    collapsed, AVG-pooled, coverage = contributing/total when the
+    per-document chunk total is known. Fixture: user#event_type chunk
+    ids over the events table."""
+    _ship_package(spark)
+    from yams_spark.operators.search import chunk_coverage_stats
+
+    ev = _t(spark, sf_dir, "events")
+    chunks = ev.select(
+        F.concat(F.col("user_id").cast("string"), F.lit("#"), F.col("event_type"))
+        .alias("chunk_id"),
+        F.col("value").alias("similarity"),
+    )
+    totals = ev.groupBy(F.col("user_id").cast("string").alias("base_id")).agg(
+        F.countDistinct("event_type").alias("total_chunks")
+    )
+    out = chunk_coverage_stats(chunks, "AVG", totals)
+    return out.select(
+        "base_id",
+        F.round("pooled_score", 6).cast("double").alias("pooled_score"),
+        F.col("contributing_chunks").cast("long").alias("contributing_chunks"),
+        F.col("total_chunks").cast("long").alias("total_chunks"),
+        F.round("coverage", 6).cast("double").alias("coverage"),
+    )
+
+
+_Q68_QUERY = "Spark Table scan MAKE money"
+
+
+def q68_concept_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept boost (concept_boost.cpp:33-138; weights
+    search_engine_config.h:98-102): query concepts (same span stand-in
+    as the KG stage) boost ranked results whose text or synthesized path
+    contains a concept term, budget spent top-rank-first
+    (prefix-sum-clamped), then the list re-sorts."""
+    _ship_package(spark)
+    from yams_spark.operators.concepts import (
+        apply_concept_boost,
+        extract_query_concepts,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1.0) / (1.0 + F.col("doc_id"))).alias("score"),
+        F.col("text").alias("snippet"),
+        F.expr(_PATH_SYNTH_SPARK).alias("path"),
+    )
+    out = apply_concept_boost(
+        d, extract_query_concepts(_Q68_QUERY), name_col="path"
+    )
+    return out.select(
+        "doc_id",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def topology_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H0 persistence over cluster centroids (topological_quality.cpp:
+    76-131 exact algorithm; TopologyManager.cpp:667-704 float32 centroid
+    accumulation, < 2-member clusters skipped). Rows-only: the Kruskal
+    death sweep is not SQL-expressible; the algorithm is pytest-pinned
+    against hand-computed MSTs. Pseudo-clusters = vec_id % 37 over the
+    embeddings table."""
+    _ship_package(spark)
+    from yams_spark.operators.topology import topology_quality_stats
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 37).cast("string").alias("cluster_id"), "embedding"
+    )
+    stats = topology_quality_stats(e)
+    return spark.createDataFrame(
+        [(stats["centroid_count"], round(stats["persistence"], 6))],
+        "centroid_count long, persistence double",
+    )
+
+
+def q70_mab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuner bandit batch view (tuner_mab.cpp: UCB1 c=sqrt(2) :13,44-50;
+    per-event reward clamp :64; best arm = max mean, id-asc ties
+    :73-94): final arm stats from a reward log — arm = event_type,
+    reward = value/10 clamped — equals the sequential fold exactly."""
+    _ship_package(spark)
+    from yams_spark.operators.tuner import mab_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("arm_id"),
+        (F.col("value") / 10.0).alias("reward"),
+    )
+    out = mab_stats(ev)
+    return out.select(
+        "arm_id", F.col("pulls").cast("long").alias("pulls"),
+        F.round("reward_sum", 6).cast("double").alias("reward_sum"),
+        F.round("mean_reward", 6).cast("double").alias("mean_reward"),
+        F.round("ucb_score", 6).cast("double").alias("ucb_score"),
+        "is_best",
+    )
+
+
+#: q69 synthetic query per document — identical SQL for Spark and DuckDB
+#: (concat/substring/CASE agree); exercises every routing branch
+_Q69_SYNTH = """
+    CASE doc_id % 8
+        WHEN 0 THEN substring(text, 1, 8)
+        WHEN 1 THEN concat('/corpus/', lang, '/doc')
+        WHEN 2 THEN concat('get_', substring(text, 1, 6))
+        WHEN 3 THEN concat('"', substring(text, 1, 6), '"')
+        WHEN 4 THEN substring(text, 1, 40)
+        WHEN 5 THEN concat(substring(text, 1, 6), '.txt')
+        WHEN 6 THEN concat('study analysis ', substring(text, 1, 10))
+        ELSE concat('photo ', substring(text, 1, 10))
+    END
+"""
+
+
+def q69_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query routing (query_router.cpp): intent (:92-123) / retrieval
+    mode (:198-232) / community (:125-182) classified for a synthetic
+    query per document — the whole router is one Catalyst projection."""
+    _ship_package(spark)
+    from yams_spark.operators.router import route_queries
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q69_SYNTH).alias("query")
+    )
+    out = route_queries(d)
+    return out.select(
+        "doc_id", "query", "intent",
+        F.round("intent_confidence", 6).cast("double").alias("intent_confidence"),
+        "intent_reason", "mode",
+        F.round("mode_confidence", 6).cast("double").alias("mode_confidence"),
+        "mode_reason", "community",
+        F.round("community_confidence", 6).cast("double").alias("community_confidence"),
+        "community_reason",
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -1947,6 +2086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_facet_sampled": q64_facet_sampled,
         "q65_graph_expansion_terms": q65_graph_expansion_terms,
         "q66_graph_text": q66_graph_text,
+        "q67_chunk_coverage": q67_chunk_coverage,
+        "q68_concept_boost": q68_concept_boost,
+        "q69_query_router": q69_query_router,
+        "q70_mab_stats": q70_mab_stats,
         "q51_hotzone_fusion": q51_hotzone_fusion,
         "q52_prefix_match": q52_prefix_match,
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
@@ -1979,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": ann_pq_adc,
         "ann_ivf": ann_ivf,
         "media_features": media_features,
+        "topology_quality": topology_quality,
         # --- substantive stable oracles (kept inside the window)
         "q09_term_stats": q09_term_stats,
         "q11_bm25": q11_bm25,
@@ -2244,6 +2388,171 @@ def _q66_oracle_sql(tok: str) -> str:
                CAST(ROUND(score, 6) AS DOUBLE) AS score,
                CAST(rk - 1 AS BIGINT) AS "rank"
         FROM r WHERE rk <= 150
+    """
+
+
+def _q68_oracle_sql() -> str:
+    """applyConceptBoost restated: the concept list comes from the SAME
+    extract_query_concepts the Spark path uses; the sequential budget
+    spend is the prefix-sum clamp (a window here — DuckDB is
+    single-node; the Spark side uses the bounded triangular join)."""
+    from yams_spark.operators.concepts import extract_query_concepts
+
+    terms = extract_query_concepts(_Q68_QUERY)
+    cnt = " + ".join(
+        f"(CASE WHEN contains(hay, '{t}') OR contains(nm, '{t}') "
+        f"THEN 1 ELSE 0 END)"
+        for t in terms
+    )
+    return f"""
+        WITH res AS (
+            SELECT doc_id, 1.0 / (1.0 + doc_id) AS score,
+                   lower(text) AS hay, lower({_PATH_SYNTH_DUCK}) AS nm
+            FROM documents),
+        pool AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rk
+                FROM res)
+            WHERE rk <= 200),
+        m AS (SELECT *, 0.1 * ({cnt}) AS desired FROM pool),
+        c AS (
+            SELECT *, SUM(desired) OVER (
+                ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum
+            FROM m),
+        boosted AS (
+            SELECT doc_id,
+                   score * (1.0 + (least(cum, 0.25)
+                                   - least(cum - desired, 0.25))) AS score
+            FROM c),
+        allrows AS (
+            SELECT * FROM boosted
+            UNION ALL
+            SELECT doc_id, score FROM res
+            WHERE doc_id NOT IN (SELECT doc_id FROM pool)),
+        r AS (
+            SELECT doc_id, score, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rk
+            FROM allrows)
+        SELECT doc_id, CAST(ROUND(score, 6) AS DOUBLE) AS score,
+               CAST(rk AS BIGINT) AS "rank"
+        FROM r
+    """
+
+
+def _q69_oracle_sql() -> str:
+    """Query router restated: every rule from operators/router.py as
+    DuckDB expressions over the same synthesized query column; the
+    vocabularies are imported from the module so they cannot drift."""
+    from yams_spark.operators.router import MEDIA_TERMS, SCIENTIFIC_TERMS
+
+    sci = ", ".join(f"'{t}'" for t in SCIENTIFIC_TERMS)
+    med = ", ".join(f"'{t}'" for t in MEDIA_TERMS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_Q69_SYNTH} AS query FROM documents),
+        feat AS (
+            SELECT doc_id, query,
+                list_filter(string_split(lower(regexp_replace(query,
+                    '[^0-9a-zA-Z]+', ' ', 'g')), ' '), x -> x <> '') AS toks,
+                list_filter(string_split(regexp_replace(query,
+                    '[^0-9a-zA-Z]+', ' ', 'g'), ' '), x -> x <> '') AS atoks,
+                contains(query, '/') OR contains(query, chr(92)) AS path_sep,
+                starts_with(query, './') OR starts_with(query, '../') AS path_pre,
+                contains(query, '::') OR contains(query, '->')
+                    OR contains(query, '#') OR contains(query, '_') AS code_sig,
+                regexp_matches(query, '^.+\\.[0-9A-Za-z]{{1,5}}$') AS has_ext,
+                length(query) >= 2 AND (
+                    (starts_with(query, '"') AND right(query, 1) = '"')
+                    OR (starts_with(query, chr(39)) AND right(query, 1) = chr(39))
+                ) AS quoted,
+                (contains(query, '[') OR contains(query, ']')
+                 OR contains(query, '(') OR contains(query, ')')
+                 OR contains(query, '{{') OR contains(query, '}}')
+                 OR contains(query, '*') OR contains(query, '+')
+                 OR contains(query, '?') OR contains(query, '|')
+                 OR contains(query, '^') OR contains(query, '$')
+                 OR contains(query, chr(92))) AS regexy,
+                length(query) = 0 AS empty
+            FROM base),
+        f2 AS (
+            SELECT *, len(toks) AS n_tokens,
+                len(list_filter(atoks, t -> regexp_matches(t, '[a-z]')
+                    AND regexp_matches(t, '[A-Za-z].*[A-Z]'))) > 0 AS camel,
+                len(list_filter(toks, t -> list_contains([{sci}], t)))
+                    AS sci_hits,
+                list_filter(toks, t -> list_contains([{med}], t)) AS media_hits
+            FROM feat),
+        r AS (
+            SELECT doc_id, query,
+                CASE WHEN empty THEN 'mixed'
+                     WHEN path_sep OR path_pre THEN 'path'
+                     WHEN code_sig OR camel OR has_ext THEN 'code'
+                     WHEN n_tokens >= 3 THEN 'prose'
+                     ELSE 'mixed' END AS intent,
+                CASE WHEN empty THEN 0.25
+                     WHEN path_sep OR path_pre THEN 0.98
+                     WHEN code_sig OR camel OR has_ext THEN 0.95
+                     WHEN n_tokens >= 3 THEN 0.80
+                     ELSE 0.40 END AS intent_confidence,
+                CASE WHEN empty THEN 'empty_query'
+                     WHEN path_sep OR path_pre THEN 'path_separator'
+                     WHEN code_sig THEN 'code_signature'
+                     WHEN camel THEN 'camel_case'
+                     WHEN has_ext THEN 'file_extension'
+                     WHEN n_tokens >= 3 THEN 'token_count>=3'
+                     ELSE 'short_query_fallback' END AS intent_reason,
+                quoted, regexy, empty, n_tokens, sci_hits, media_hits
+            FROM f2),
+        r2 AS (
+            SELECT *,
+                CASE WHEN empty THEN 'hybrid'
+                     WHEN intent = 'path' THEN 'path'
+                     WHEN quoted OR regexy THEN 'literal'
+                     WHEN intent = 'code' THEN 'literal'
+                     WHEN intent = 'prose' THEN 'semantic'
+                     WHEN n_tokens <= 2 THEN 'literal'
+                     ELSE 'hybrid' END AS mode,
+                CASE WHEN empty THEN 0.25
+                     WHEN intent = 'path' THEN 0.99
+                     WHEN quoted THEN 0.98
+                     WHEN regexy THEN 0.96
+                     WHEN intent = 'code' THEN 0.97
+                     WHEN intent = 'prose' THEN
+                          CASE WHEN n_tokens >= 6 THEN 0.92 ELSE 0.84 END
+                     WHEN n_tokens <= 2 THEN 0.72
+                     ELSE 0.60 END AS mode_confidence,
+                CASE WHEN empty THEN 'empty_query'
+                     WHEN intent = 'path' THEN 'path_intent'
+                     WHEN quoted THEN 'quoted_literal'
+                     WHEN regexy THEN 'regex_like'
+                     WHEN intent = 'code' THEN 'code_intent'
+                     WHEN intent = 'prose' THEN
+                          CASE WHEN n_tokens >= 6
+                               THEN 'long_prose' ELSE 'prose_intent' END
+                     WHEN n_tokens <= 2 THEN 'short_query_literal_bias'
+                     ELSE 'mixed_intent_fallback' END AS mode_reason
+            FROM r)
+        SELECT doc_id, query, intent,
+               CAST(ROUND(intent_confidence, 6) AS DOUBLE) AS intent_confidence,
+               intent_reason, mode,
+               CAST(ROUND(mode_confidence, 6) AS DOUBLE) AS mode_confidence,
+               mode_reason,
+               CASE WHEN intent IN ('code', 'path') THEN 'code'
+                    WHEN sci_hits >= 2 THEN 'scientific'
+                    WHEN len(media_hits) > 0 THEN 'media' END AS community,
+               CAST(ROUND(
+                   CASE WHEN intent IN ('code', 'path') THEN 0.98
+                        WHEN sci_hits >= 2 THEN
+                             least(1.0, 0.55 + CAST(sci_hits AS DOUBLE) * 0.10)
+                        WHEN len(media_hits) > 0 THEN 0.92 END, 6) AS DOUBLE)
+                   AS community_confidence,
+               CASE WHEN intent IN ('code', 'path') THEN 'code_or_path_intent'
+                    WHEN sci_hits >= 2 THEN
+                         'scientific_terms=' || CAST(sci_hits AS VARCHAR)
+                    WHEN len(media_hits) > 0 THEN
+                         'media_term=' || media_hits[1] END AS community_reason
+        FROM r2
     """
 
 
@@ -3441,6 +3750,56 @@ def oracle_sql() -> dict[str, str]:
         "q60_unicode61_tokens": _q60_oracle_sql(),
         "q61_kg_component": _q61_oracle_sql(),
         "q62_path_tree_component": _q62_oracle_sql(),
+        "q67_chunk_coverage": """
+            WITH u AS (
+                SELECT CAST(user_id AS VARCHAR) || '#' || event_type AS chunk_id,
+                       MAX(value) AS s
+                FROM events GROUP BY 1),
+            g AS (
+                SELECT split_part(chunk_id, '#', 1) AS base_id,
+                       AVG(s) AS pooled_score, COUNT(*) AS contributing
+                FROM u GROUP BY 1),
+            t AS (
+                SELECT CAST(user_id AS VARCHAR) AS base_id,
+                       COUNT(DISTINCT event_type) AS total_chunks
+                FROM events GROUP BY 1)
+            SELECT g.base_id,
+                   CAST(ROUND(g.pooled_score, 6) AS DOUBLE) AS pooled_score,
+                   CAST(g.contributing AS BIGINT) AS contributing_chunks,
+                   CAST(t.total_chunks AS BIGINT) AS total_chunks,
+                   CAST(ROUND(CASE WHEN t.total_chunks > 0
+                        THEN CAST(g.contributing AS DOUBLE) / t.total_chunks
+                        END, 6) AS DOUBLE) AS coverage
+            FROM g LEFT JOIN t USING (base_id)
+        """,
+        "q68_concept_boost": _q68_oracle_sql(),
+        "q69_query_router": _q69_oracle_sql(),
+        "q70_mab_stats": """
+            WITH r AS (
+                SELECT event_type AS arm_id,
+                       least(greatest(value / 10.0, 0.0), 1.0) AS rw
+                FROM events),
+            pa AS (
+                SELECT arm_id, COUNT(*) AS pulls, SUM(rw) AS reward_sum
+                FROM r GROUP BY arm_id),
+            t AS (SELECT SUM(pulls) AS total_pulls FROM pa),
+            s AS (
+                SELECT arm_id, pulls, reward_sum,
+                       reward_sum / pulls AS mean_reward,
+                       reward_sum / pulls + 1.4142135623730951 *
+                           sqrt(ln(greatest(1.0, CAST(t.total_pulls AS DOUBLE)))
+                                / pulls) AS ucb_score
+                FROM pa CROSS JOIN t),
+            b AS (
+                SELECT arm_id AS best_arm FROM s
+                ORDER BY mean_reward DESC, arm_id ASC LIMIT 1)
+            SELECT arm_id, CAST(pulls AS BIGINT) AS pulls,
+                   CAST(ROUND(reward_sum, 6) AS DOUBLE) AS reward_sum,
+                   CAST(ROUND(mean_reward, 6) AS DOUBLE) AS mean_reward,
+                   CAST(ROUND(ucb_score, 6) AS DOUBLE) AS ucb_score,
+                   arm_id = (SELECT best_arm FROM b) AS is_best
+            FROM s
+        """,
         "q65_graph_expansion_terms": f"""
             WITH {_q65_expansion_cte()}
             SELECT term, CAST(ROUND(score, 6) AS DOUBLE) AS score

@@ -446,6 +446,61 @@ def apply_hotzone_boost(
     )
 
 
+def chunk_coverage_stats(
+    chunk_results: DataFrame,
+    pooling: str = "AVG",
+    total_chunks: DataFrame | None = None,
+    chunk_col: str = "chunk_id",
+    score_col: str = "similarity",
+) -> DataFrame:
+    """(base_id, pooled_score, contributing_chunks[, total_chunks,
+    coverage]): group chunk-level vector hits by base document id — the
+    chunk id before the first ``#`` (``baseIdFromChunkId``,
+    reference src/search/chunk_coverage.cpp:8-16) — and pool AVG or MAX
+    (groupAndAggregate :18-70). Duplicate full chunk ids collapse to
+    their max score first (the reference drops later duplicates of an
+    unordered map scan; max is the deterministic DataFrame restatement).
+    ``total_chunks`` (base_id, total_chunks) enables coverage =
+    contributing/total (chunk_coverage.h:25-31, null when unknown or 0).
+    Caller orders by (pooled_score desc, base_id asc) like the
+    reference's stable sort. Two keyed aggregations, no driver state."""
+    if pooling not in ("AVG", "MAX"):
+        raise ValueError(f"unknown pooling {pooling!r}")
+    uniq = (
+        chunk_results.select(
+            F.col(chunk_col).alias("chunk_id"), F.col(score_col).alias("s")
+        )
+        .groupBy("chunk_id")
+        .agg(F.max("s").alias("s"))
+    )
+    grouped = (
+        uniq.withColumn("base_id", F.substring_index(F.col("chunk_id"), "#", 1))
+        .groupBy("base_id")
+        .agg(
+            F.avg("s").alias("avg_s"),
+            F.max("s").alias("max_s"),
+            F.count("*").alias("contributing_chunks"),
+        )
+        .select(
+            "base_id",
+            (F.col("avg_s") if pooling == "AVG" else F.col("max_s")).alias(
+                "pooled_score"
+            ),
+            "contributing_chunks",
+        )
+    )
+    if total_chunks is None:
+        return grouped
+    tc = total_chunks.select("base_id", F.col("total_chunks").cast("long").alias("total_chunks"))
+    return grouped.join(tc, "base_id", "left").withColumn(
+        "coverage",
+        F.when(
+            F.col("total_chunks") > 0,
+            F.col("contributing_chunks") / F.col("total_chunks"),
+        ),
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list,
