@@ -1908,7 +1908,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize over the deterministic synthetic media
-    table: REAL codecs for PPM images (pixel decode, channel stats +
+    table: REAL codecs for PPM/PNG images (pixel decode, channel stats +
     histograms) and PCM16 WAV (sample decode, RMS/ZCR/FFT bands) — only
     formats with no codec in this container (mp4) use the documented
     deterministic stand-in. No DuckDB oracle (binary codecs aren't SQL);

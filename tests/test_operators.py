@@ -369,6 +369,89 @@ def test_media_codecs_roundtrip() -> None:
     assert abs(af[2] - 1.0) < 1e-6  # duration 1 s
 
 
+def test_png_codec_real_decode() -> None:
+    """PNG decode is real: CRC-verified chunks, every filter type
+    reconstructed, all color types, palette expansion; Adam7/16-bit
+    raise (the honest codec boundary)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from yams_spark.functions import media_codecs as mc
+
+    rng = np.random.default_rng(3)
+    for shape in [(6, 5), (6, 5, 2), (7, 4, 3), (5, 5, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(mc.decode_png(mc.encode_png(img)), img)
+
+    # hand-filter rows with every filter type, assert reconstruction
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    ch, stride = 3, 6 * 3
+    raws = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = img[y].reshape(-1).astype(np.int32)
+        filt = np.zeros(stride, dtype=np.uint8)
+        for x in range(stride):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                filt[x] = row[x] & 0xFF
+            elif ftype == 1:
+                filt[x] = (row[x] - a) & 0xFF
+            elif ftype == 2:
+                filt[x] = (row[x] - b) & 0xFF
+            elif ftype == 3:
+                filt[x] = (row[x] - (a + b) // 2) & 0xFF
+            else:
+                filt[x] = (row[x] - mc._paeth(a, b, c)) & 0xFF
+        raws.append(bytes([ftype]) + filt.tobytes())
+        prev = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(mc.decode_png(png), img)
+
+    # palette image: index plane + PLTE lookup
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(3, 4), dtype=np.uint8)
+    pal_png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", palette.tobytes())
+               + chunk(b"IDAT", zlib.compress(
+                   b"".join(b"\x00" + idx[y].tobytes() for y in range(3))))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(mc.decode_png(pal_png), palette[idx])
+
+    # corrupted CRC rejected; interlace/16-bit raise NotImplementedError
+    good = mc.encode_png(img)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # flip a bit in IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mc.decode_png(bytes(bad))
+    il = (b"\x89PNG\r\n\x1a\n"
+          + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        mc.decode_png(il)
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)))
+    with pytest.raises(NotImplementedError, match="depth"):
+        mc.decode_png(deep)
+
+    # features flow through the mime dispatcher
+    feats = mc.decode_features(mc.encode_png(img), "image/png")
+    assert feats is not None and feats.shape == (30,)
+    assert mc.decode_features(b"\xff\xd8\xff", "image/jpeg") is None
+
+
 def test_metadata_component_empty_filters_raises(spark) -> None:
     """Empty conjunction is a caller bug (the reference skips the component
     for unconstrained queries) — pin the ValueError contract."""

@@ -13,6 +13,11 @@ stubs formats whose codecs genuinely don't exist here):
 * **WAV (PCM16)** — stdlib ``wave`` + numpy frombuffer. Decode → float32
   samples in [-1, 1]; RMS / zero-crossing-rate / 8-band FFT energy
   features.
+* **PNG (8-bit, all color types, non-interlaced)** — stdlib ``zlib``:
+  CRC-verified chunk walk, IDAT inflate, scanline unfilter
+  (None/Sub/Up/Average/Paeth), palette expansion. Adam7 and 16-bit
+  raise — that's the honest strict-mode boundary; JPEG/MP3 entropy
+  coding genuinely needs codecs this container lacks.
 
 Everything is deterministic and byte-exact — used by operators/multimodal
 as the real decode path and by tests as round-trip oracles.
@@ -157,9 +162,143 @@ def audio_features(
 # ---------- dispatcher ----------
 
 #: mimes with a REAL decoder in this environment
+# ---------- PNG (stdlib zlib; RFC 2083) ----------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: samples per pixel by color type (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode with nothing beyond stdlib zlib: chunk walk with
+    CRC verification, IDAT inflate, per-scanline unfilter (None / Sub /
+    Up / Average / Paeth), palette expansion. Supports bit depth 8, all
+    five color types, non-interlaced (Adam7 raises — the strict-mode
+    boundary, like any genuinely absent codec). Returns uint8 (h, w) or
+    (h, w, channels)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color} invalid")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonstandard compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("PNG Adam7 interlace not supported")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up — fully vectorized
+            rec = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            rec = np.zeros(stride, dtype=np.uint8)
+            li = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(pv[x])
+                if ftype == 1:
+                    rec[x] = (li[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (li[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(pv[x - ch]) if x >= ch else 0
+                    rec[x] = (li[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        img = plte[img[:, :, 0]]
+    return img[:, :, 0] if img.shape[2] == 1 else img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 rows, zlib level 9) for gray /
+    gray+alpha / RGB / RGBA uint8 arrays — the round-trip oracle for
+    ``decode_png`` in tests."""
+    import struct
+    import zlib
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 REAL_DECODABLE = {
     "image/x-portable-pixmap",
     "image/x-portable-graymap",
+    "image/png",
     "audio/wav",
     "audio/x-wav",
 }
@@ -170,6 +309,11 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray | None:
     exists here (caller stubs or raises per its strict flag)."""
     if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
         return image_features(decode_pnm(payload))
+    if mime == "image/png":
+        img = decode_png(payload)
+        if img.ndim == 3 and img.shape[2] in (2, 4):
+            img = img[:, :, :-1]  # drop alpha for luminance features
+        return image_features(img)
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav(payload))
     return None

@@ -122,6 +122,8 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
     binary payload + typed metadata, no external data."""
     from yams_spark.functions.media_codecs import encode_ppm, encode_wav
 
+    from yams_spark.functions.media_codecs import encode_png
+
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -130,7 +132,11 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
             img = (np.arange(h * w * 3, dtype=np.int64) * (i + 3) % 256).astype(
                 np.uint8
             ).reshape(h, w, 3)
-            payload, mime = encode_ppm(img), "image/x-portable-pixmap"
+            # alternate the two REAL image codecs (netpbm and PNG)
+            if i % 6 == 0:
+                payload, mime = encode_png(img), "image/png"
+            else:
+                payload, mime = encode_ppm(img), "image/x-portable-pixmap"
             width = height = w
             duration = None
         elif kind == "audio":
