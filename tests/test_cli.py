@@ -83,3 +83,28 @@ def test_cli_grep_files_with_matches(spark, tmp_path, capsys) -> None:
     assert _jsonl(capsys) == [{"doc_id": 1}]
     assert main(["grep", "stream", "-L", "--docs", p], spark=spark) == 0
     assert _jsonl(capsys) == [{"doc_id": 2}]
+
+
+def test_cli_route_and_facets(spark, tmp_path, capsys) -> None:
+    assert main(["route", "src/main.py"], spark=spark) == 0
+    d = _jsonl(capsys)[0]
+    assert d["intent"] == "path" and d["mode"] == "path"
+    assert d["community"] == "code"
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"s{i % 3}") for i in range(30)],
+        "doc_id long, lang string, source string",
+    )
+    p = str(tmp_path / "facet_docs.parquet")
+    docs.write.parquet(p)
+    # small table -> auto digits = 0 -> exact counts
+    assert main(["facets", "lang", "source", "--docs", p], spark=spark) == 0
+    rows = _jsonl(capsys)
+    got = {(r["field"], r["value"]): r["n"] for r in rows}
+    assert got[("lang", "en")] == 15 and got[("source", "s0")] == 10
+    assert not any(r["approximate"] for r in rows)
+    # explicit sampling digit flips the approximate flag
+    assert main(
+        ["facets", "lang", "--sample-digits", "1", "--docs", p], spark=spark
+    ) == 0
+    assert all(r["approximate"] for r in _jsonl(capsys))

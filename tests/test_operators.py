@@ -452,6 +452,50 @@ def test_png_codec_real_decode() -> None:
     assert mc.decode_features(b"\xff\xd8\xff", "image/jpeg") is None
 
 
+def test_gif_codec_real_decode() -> None:
+    """GIF decode is real: variable-width LZW with dictionary growth and
+    the early-change width bump, extension skip, interlace deinterleave,
+    local color tables."""
+    import numpy as np
+
+    from yams_spark.functions import media_codecs as mc
+
+    rng = np.random.default_rng(11)
+    # round-trips across palette sizes and width-bump boundaries
+    for h, w, ncol in [(3, 5, 4), (64, 64, 16), (100, 100, 256), (7, 9, 2)]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+        idx[::2] = idx[0, 0]  # runs grow the dictionary across bumps
+        assert np.array_equal(mc.decode_gif(mc.encode_gif(idx, pal)), pal[idx])
+
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(9, 6), dtype=np.uint8)
+    plain = mc.encode_gif(idx, pal)
+
+    # graphic-control extension between LSD and image is skipped
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = plain[:13 + 12] + ext + plain[13 + 12:]
+    assert np.array_equal(mc.decode_gif(with_ext), pal[idx])
+
+    # interlaced: permute rows per Adam-style GIF passes, set the flag —
+    # the decoder must undo it
+    order = (list(range(0, 9, 8)) + list(range(4, 9, 8))
+             + list(range(2, 9, 4)) + list(range(1, 9, 2)))
+    inter = mc.encode_gif(idx[order], pal)
+    desc = 13 + 12  # header+GCT, then image descriptor
+    inter = inter[:desc + 9] + bytes([inter[desc + 9] | 0x40]) + inter[desc + 10:]
+    assert np.array_equal(mc.decode_gif(inter), pal[idx])
+
+    with pytest.raises(ValueError, match="signature"):
+        mc.decode_gif(b"NOTGIF" + plain[6:])
+    with pytest.raises(ValueError, match="truncated|bad code"):
+        # chop most of the pixel data blocks
+        mc.decode_gif(plain[:desc + 12] + b"\x00\x3b")
+
+    feats = mc.decode_features(plain, "image/gif")
+    assert feats is not None and feats.shape == (30,)
+
+
 def test_metadata_component_empty_filters_raises(spark) -> None:
     """Empty conjunction is a caller bug (the reference skips the component
     for unconstrained queries) — pin the ValueError contract."""

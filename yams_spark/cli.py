@@ -122,6 +122,26 @@ def cmd_kg(spark, args) -> int:
     return 0
 
 
+def cmd_route(spark, args) -> int:
+    from yams_spark.operators.router import route_query
+
+    print(json.dumps({"query": args.query, **route_query(spark, args.query)}))
+    return 0
+
+
+def cmd_facets(spark, args) -> int:
+    from yams_spark.operators.facets import choose_sample_digits, facet_counts
+
+    docs = _docs(spark, args.docs)
+    digits = args.sample_digits
+    if digits is None:
+        digits = choose_sample_digits(docs.count())
+    out = facet_counts(docs, args.fields, id_col=args.id_col,
+                       sample_hex_digits=digits)
+    _emit(out.orderBy("field", "rk"), args.limit)
+    return 0
+
+
 def cmd_snapshot(spark, args) -> int:
     from yams_spark.operators.snapshots import tree_snapshot
 
@@ -190,6 +210,17 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--pagerank-iters", type=int, default=5)
     common(k)
     k.set_defaults(fn=cmd_kg)
+
+    rt = sub.add_parser("route", help="classify one query (intent/mode/community)")
+    rt.add_argument("query")
+    rt.set_defaults(fn=cmd_route)
+
+    fc = sub.add_parser("facets", help="facet value counts (sampled above threshold)")
+    fc.add_argument("fields", nargs="+")
+    fc.add_argument("--sample-digits", type=int, default=None,
+                    help="sha256 zero-hex-digit count; default auto from row count")
+    common(fc)
+    fc.set_defaults(fn=cmd_facets)
 
     sn = sub.add_parser("snapshot", help="tree snapshot with Merkle root")
     sn.add_argument("--files", required=True)

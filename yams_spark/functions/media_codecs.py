@@ -16,8 +16,13 @@ stubs formats whose codecs genuinely don't exist here):
 * **PNG (8-bit, all color types, non-interlaced)** — stdlib ``zlib``:
   CRC-verified chunk walk, IDAT inflate, scanline unfilter
   (None/Sub/Up/Average/Paeth), palette expansion. Adam7 and 16-bit
-  raise — that's the honest strict-mode boundary; JPEG/MP3 entropy
-  coding genuinely needs codecs this container lacks.
+  raise.
+* **GIF (87a/89a, first frame)** — pure-Python variable-width LZW with
+  dictionary growth and the early-change width bump, extension skip,
+  interlace deinterleave, local color tables.
+
+JPEG/MP3 remain the honest strict-mode boundary — their entropy coding
+genuinely needs codecs this container lacks.
 
 Everything is deterministic and byte-exact — used by operators/multimodal
 as the real decode path and by tests as round-trip oracles.
@@ -295,10 +300,187 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+# ---------- GIF (pure-Python LZW; GIF87a/89a, first frame) ----------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF variable-width LZW: clear/end codes, dictionary grows to 4096,
+    code width bumps at dictionary size 2^width."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                dictionary = [[i] for i in range(clear)] + [[], []]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(dictionary) and dictionary[code]:
+                entry = dictionary[code]
+            elif code == len(dictionary) and prev is not None:
+                entry = prev + [prev[0]]
+            elif code < clear:
+                entry = [code]
+            else:
+                raise ValueError(f"GIF LZW bad code {code}")
+            out.extend(entry)
+            if prev is not None and len(dictionary) < 4096:
+                dictionary.append(prev + [entry[0]])
+                # bump one slot EARLY: the decoder defines each entry one
+                # code after the encoder did, so the encoder's next code
+                # already uses the wider width
+                if len(dictionary) == (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Real GIF decode (87a/89a, first image frame): logical screen +
+    color tables, extension skip, variable-width LZW, interlace
+    deinterleave. Returns uint8 (h, w, 3)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    pos = 6
+    sw, sh = int.from_bytes(payload[6:8], "little"), int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload[pos : pos + 3 * size], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * size
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                size = 2 ** ((ipacked & 0x07) + 1)
+                table = np.frombuffer(
+                    payload[pos : pos + 3 * size], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * size
+            if table is None:
+                raise ValueError("GIF image without color table")
+            min_code = payload[pos]
+            pos += 1
+            blocks = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF pixel data truncated")
+                if payload[pos] == 0:
+                    break
+                n = payload[pos]
+                blocks.extend(payload[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            idx = _gif_lzw_decode(min_code, bytes(blocks))
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            grid = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows in 4 passes
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de = np.zeros_like(grid)
+                de[order] = grid
+                grid = de
+            return table[grid]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF unknown block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder (global color table, one frame, real LZW
+    with dictionary growth/width bumps) — the round-trip oracle for
+    ``decode_gif``. ``indices``: (h, w) uint8 into ``palette`` (n, 3)."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    bits = max(2, int(np.ceil(np.log2(max(2, len(pal))))))
+    size = 1 << bits
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+
+    mcs = bits
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out_codes: list[tuple[int, int]] = []  # (code, width)
+    width = mcs + 1
+    dictionary: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    out_codes.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for px in idx.reshape(-1).tolist():
+        cand = buf + (px,)
+        if cand in dictionary:
+            buf = cand
+            continue
+        out_codes.append((dictionary[buf], width))
+        if next_code < 4096:
+            dictionary[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                width += 1
+        buf = (px,)
+    if buf:
+        out_codes.append((dictionary[buf], width))
+    out_codes.append((end, width))
+
+    acc = nbits = 0
+    stream = bytearray()
+    for code, cw in out_codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+
+    header = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    header += bytes([0x80 | (bits - 1), 0, 0]) + table.tobytes()
+    imgdesc = b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    return header + imgdesc + bytes([mcs]) + bytes(blocks) + b"\x3b"
+
+
 REAL_DECODABLE = {
     "image/x-portable-pixmap",
     "image/x-portable-graymap",
     "image/png",
+    "image/gif",
     "audio/wav",
     "audio/x-wav",
 }
@@ -314,6 +496,8 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray | None:
         if img.ndim == 3 and img.shape[2] in (2, 4):
             img = img[:, :, :-1]  # drop alpha for luminance features
         return image_features(img)
+    if mime == "image/gif":
+        return image_features(decode_gif(payload))
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav(payload))
     return None

@@ -132,9 +132,19 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
             img = (np.arange(h * w * 3, dtype=np.int64) * (i + 3) % 256).astype(
                 np.uint8
             ).reshape(h, w, 3)
-            # alternate the two REAL image codecs (netpbm and PNG)
-            if i % 6 == 0:
+            # rotate the three REAL image codecs (netpbm, PNG, GIF)
+            if i % 9 == 0:
                 payload, mime = encode_png(img), "image/png"
+            elif i % 9 == 3:
+                from yams_spark.functions.media_codecs import encode_gif
+
+                pal = img.reshape(-1, 3)[:: max(1, (h * w) // 8)][:8]
+                payload = encode_gif(
+                    (np.arange(h * w, dtype=np.int64) % len(pal))
+                    .astype(np.uint8).reshape(h, w),
+                    pal,
+                )
+                mime = "image/gif"
             else:
                 payload, mime = encode_ppm(img), "image/x-portable-pixmap"
             width = height = w
