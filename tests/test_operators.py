@@ -449,7 +449,7 @@ def test_png_codec_real_decode() -> None:
     # features flow through the mime dispatcher
     feats = mc.decode_features(mc.encode_png(img), "image/png")
     assert feats is not None and feats.shape == (30,)
-    assert mc.decode_features(b"\xff\xd8\xff", "image/jpeg") is None
+    assert mc.decode_features(b"\x00\x01", "audio/mpeg") is None  # no codec
 
 
 def test_gif_codec_real_decode() -> None:

@@ -20,9 +20,12 @@ stubs formats whose codecs genuinely don't exist here):
 * **GIF (87a/89a, first frame)** — pure-Python variable-width LZW with
   dictionary growth and the early-change width bump, extension skip,
   interlace deinterleave, local color tables.
+* **JPEG (baseline sequential)** — ``functions/jpeg_codec``: canonical
+  Huffman decode, dequant + exact float IDCT, 4:4:4/4:2:2/4:2:0
+  sampling, JFIF YCbCr→RGB; progressive/arithmetic raise.
 
-JPEG/MP3 remain the honest strict-mode boundary — their entropy coding
-genuinely needs codecs this container lacks.
+MP3 (and video containers) remain the honest strict-mode boundary —
+their codecs genuinely don't exist in this container.
 
 Everything is deterministic and byte-exact — used by operators/multimodal
 as the real decode path and by tests as round-trip oracles.
@@ -481,6 +484,7 @@ REAL_DECODABLE = {
     "image/x-portable-graymap",
     "image/png",
     "image/gif",
+    "image/jpeg",
     "audio/wav",
     "audio/x-wav",
 }
@@ -498,6 +502,10 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray | None:
         return image_features(img)
     if mime == "image/gif":
         return image_features(decode_gif(payload))
+    if mime == "image/jpeg":
+        from yams_spark.functions.jpeg_codec import decode_jpeg
+
+        return image_features(decode_jpeg(payload))
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav(payload))
     return None

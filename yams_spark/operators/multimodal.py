@@ -132,10 +132,14 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
             img = (np.arange(h * w * 3, dtype=np.int64) * (i + 3) % 256).astype(
                 np.uint8
             ).reshape(h, w, 3)
-            # rotate the three REAL image codecs (netpbm, PNG, GIF)
-            if i % 9 == 0:
+            # rotate the four REAL image codecs (netpbm, PNG, GIF, JPEG)
+            if i % 12 == 0:
                 payload, mime = encode_png(img), "image/png"
-            elif i % 9 == 3:
+            elif i % 12 == 6:
+                from yams_spark.functions.jpeg_codec import encode_jpeg
+
+                payload, mime = encode_jpeg(img, quality=90), "image/jpeg"
+            elif i % 12 == 3 or i % 12 == 9:
                 from yams_spark.functions.media_codecs import encode_gif
 
                 pal = img.reshape(-1, 3)[:: max(1, (h * w) // 8)][:8]
