@@ -1,0 +1,125 @@
+"""Adaptive search tuner (search_tuner.cpp core loop replica): EWMA
+folding, warmup/cooldown gating, KG pressure/recovery adjustments,
+similarity-threshold hysteresis, JSON round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from yams_spark.operators.search_tuner import (
+    QueryTelemetry,
+    SearchTuner,
+    TunedParams,
+)
+
+
+def _kg_slow_useless(n=1):
+    """Telemetry where KG eats latency and contributes nothing."""
+    return [
+        QueryTelemetry(latency_ms=100.0, kg_duration_ms=60.0,
+                       kg_fusion_enabled=True, kg_contributed_to_final=False,
+                       kg_final_score_mass=0.0, graph_enabled=True,
+                       graph_skipped=True)
+        for _ in range(n)
+    ]
+
+
+def _kg_healthy(n=1):
+    return [
+        QueryTelemetry(latency_ms=100.0, kg_duration_ms=5.0,
+                       kg_fusion_enabled=True, kg_contributed_to_final=True,
+                       kg_final_score_mass=0.8, kg_final_top_doc_count=4,
+                       graph_enabled=True, graph_contributed=True)
+        for _ in range(n)
+    ]
+
+
+def test_warmup_and_cooldown_gating() -> None:
+    t = SearchTuner()
+    # observations 1-3: both gates closed; 4: only warmup remains
+    for tel in _kg_slow_useless(3):
+        assert t.observe(tel) == "warming_up,cooldown_active"
+    assert t.observe(_kg_slow_useless(1)[0]) == "warming_up"
+    # 5th observation: warmed up, adjustment fires
+    d = t.observe(_kg_slow_useless(1)[0])
+    assert "kg_latency_pressure" in d and d.endswith("+changed")
+    # cooldown holds for the next 3 observations
+    for tel in _kg_slow_useless(3):
+        assert t.observe(tel) == "cooldown_active"
+    d = t.observe(_kg_slow_useless(1)[0])
+    assert "kg_latency_pressure" in d
+
+
+def test_latency_pressure_adjustments_hand_computed() -> None:
+    t = SearchTuner(params=TunedParams(kg_max_results=100, graph_budget_ms=10,
+                                       graph_rerank_top_n=30, rrf_k=12,
+                                       kg_weight=0.04))
+    for tel in _kg_slow_useless(5):
+        t.observe(tel)
+    p = t.params
+    assert p.kg_max_results == 80      # 100*4//5
+    assert p.graph_budget_ms == 8      # -2
+    assert p.graph_rerank_top_n == 26  # -4
+    assert p.rrf_k == 14               # +2
+    # graph mostly skipping -> weight steps down
+    assert p.kg_weight == pytest.approx(0.03)
+    # floors hold under sustained pressure
+    for _ in range(40):
+        for tel in _kg_slow_useless(4):
+            t.observe(tel)
+    assert p.kg_max_results >= 12 and p.graph_budget_ms >= 3
+    assert p.graph_rerank_top_n >= 10 and p.rrf_k <= 80
+    assert p.kg_weight >= 0.02 - 1e-9
+
+
+def test_utility_recovery_adjustments() -> None:
+    t = SearchTuner()
+    for tel in _kg_healthy(5):
+        d = t.observe(tel)
+    assert "kg_utility_recovery" in d
+    p = t.params
+    assert p.kg_max_results == 108 and p.graph_budget_ms == 11
+    assert p.graph_rerank_top_n == 32 and p.rrf_k == 11
+    assert p.kg_weight == pytest.approx(0.045)
+
+
+def test_similarity_threshold_hysteresis() -> None:
+    # empty vector pools lower the threshold (and clamp to max-sim/2)
+    t = SearchTuner(has_knowledge_graph=False)
+    empty = QueryTelemetry(latency_ms=10.0, vector_attempted=True,
+                           vector_has_scores=False)
+    for _ in range(5):
+        d = t.observe(empty)
+    assert "vector_empty_pool_streak" in d
+    assert t.params.similarity_threshold == pytest.approx(0.35)
+    assert t.vector_stage_empty_streak == 0  # streak reset on adjust
+
+    # headroom raises: steady high max-sim well above threshold
+    t2 = SearchTuner(has_knowledge_graph=False)
+    rich = QueryTelemetry(latency_ms=10.0, vector_attempted=True,
+                          vector_has_scores=True, vector_max_score=0.9)
+    for _ in range(5):
+        d = t2.observe(rich)
+    assert "vector_sim_headroom" in d
+    assert t2.params.similarity_threshold == pytest.approx(0.42)
+
+    # pinned threshold never moves
+    t3 = SearchTuner(has_knowledge_graph=False,
+                     params=TunedParams(similarity_pinned=True))
+    for _ in range(10):
+        t3.observe(rich)
+    assert t3.params.similarity_threshold == pytest.approx(0.40)
+
+
+def test_ewma_seeding_and_json_roundtrip() -> None:
+    t = SearchTuner()
+    t.observe(QueryTelemetry(latency_ms=50.0))
+    assert t.ewma_latency_ms == pytest.approx(50.0)  # first sample seeds
+    t.observe(QueryTelemetry(latency_ms=100.0))
+    assert t.ewma_latency_ms == pytest.approx(50.0 + 0.2 * 50.0)
+
+    payload = t.to_json()
+    u = SearchTuner.from_json(payload)
+    assert u.observations == t.observations
+    assert u.ewma_latency_ms == pytest.approx(t.ewma_latency_ms)
+    assert vars(u.params) == vars(t.params)
