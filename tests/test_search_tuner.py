@@ -123,3 +123,52 @@ def test_ewma_seeding_and_json_roundtrip() -> None:
     assert u.observations == t.observations
     assert u.ewma_latency_ms == pytest.approx(t.ewma_latency_ms)
     assert vars(u.params) == vars(t.params)
+
+
+def test_relevance_reward_loop(spark) -> None:
+    """End-to-end labels channel: ranked results + qrels -> per-query
+    nDCG rewards -> tuner EWMA and bandit arm stats."""
+    from yams_spark.operators.relevance import relevance_rewards
+    from yams_spark.operators.tuner import TunerMAB
+
+    results = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q2", 3, 1), ("q2", 1, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1, 2), ("q2", 1, 1)], "query_id string, doc_id long, rel int"
+    )
+    rewards = {r["query_id"]: r["reward"] for r in
+               relevance_rewards(results, qrels).collect()}
+    assert rewards["q1"] == pytest.approx(1.0)       # relevant doc at rank 1
+    assert 0.0 < rewards["q2"] < 1.0                  # at rank 2
+
+    t = SearchTuner()
+    t.observe_relevance(rewards.values(), timestamp="2026-08-17")
+    assert t.relevance_sessions == 1 and t.relevance_queries == 2
+    # first sample seeds, second folds at alpha 0.2 (dict order q1, q2)
+    vals = list(rewards.values())
+    want = vals[0] + 0.2 * (vals[1] - vals[0])
+    assert t.ewma_relevance_reward == pytest.approx(want)
+    # state survives the JSON round-trip
+    u = SearchTuner.from_json(t.to_json())
+    assert u.ewma_relevance_reward == pytest.approx(t.ewma_relevance_reward)
+    # empty session is a no-op
+    t.observe_relevance([])
+    assert t.relevance_sessions == 1
+
+    # the same rewards drive the bandit's labels channel
+    m = TunerMAB()
+    m.set_arms([("hybrid", 0.0), ("lexical", 0.0)])
+    m.record_reward(0, rewards["q1"], source="labels")
+    assert m.last_reward_source == "labels"
+    assert m.best_arm_id() == "hybrid"
+
+
+def test_has_converged() -> None:
+    t = SearchTuner(has_knowledge_graph=False)
+    assert not t.has_converged()
+    for _ in range(9):
+        t.observe(QueryTelemetry(latency_ms=5.0))
+    # steady band, no adjustments -> converged once warm + cooled
+    assert t.has_converged()

@@ -116,6 +116,10 @@ class SearchTuner:
     ewma_graph_skip_rate: float = 0.0
     ewma_graph_contribution_rate: float = 0.0
     ewma_vector_max_similarity: float = 0.0
+    relevance_queries: int = 0
+    relevance_sessions: int = 0
+    ewma_relevance_reward: float = 0.0
+    last_relevance_timestamp: str | None = None
     last_decision: str = ""
 
     def observe(self, t: QueryTelemetry) -> str:
@@ -258,6 +262,34 @@ class SearchTuner:
         self.last_decision = ",".join(reasons) + ("+changed" if changed else "")
         return self.last_decision
 
+    def observe_relevance(self, rewards, timestamp: str | None = None) -> None:
+        """Fold a labeled relevance session in
+        (observeRelevanceFeedback, search_tuner.cpp:707-741): each
+        per-query reward clamps to [0,1] and updates its own EWMA keyed
+        by the relevance-query counter (comparable cadence to the
+        telemetry channel; a fresh tuner seeds on the first sample)."""
+        rewards = list(rewards)
+        if not rewards:
+            return
+        for r in rewards:
+            self.relevance_queries += 1
+            self.ewma_relevance_reward = _ewma(
+                self.ewma_relevance_reward, min(max(float(r), 0.0), 1.0),
+                self.relevance_queries,
+            )
+        self.relevance_sessions += 1
+        self.last_relevance_timestamp = timestamp
+
+    def has_converged(self, min_observations: int = WARMUP_OBSERVATIONS) -> bool:
+        """True once warmed and a full cooldown has passed with no
+        adjustment (search_tuner.cpp:743-750)."""
+        if self.observations < min_observations:
+            return False
+        return (
+            self.observations - self.last_adjustment_observation
+            >= COOLDOWN_OBSERVATIONS
+        )
+
     def to_json(self) -> str:
         return json.dumps(
             {
@@ -271,6 +303,9 @@ class SearchTuner:
                 "ewma_graph_skip_rate": self.ewma_graph_skip_rate,
                 "ewma_graph_contribution_rate": self.ewma_graph_contribution_rate,
                 "ewma_vector_max_similarity": self.ewma_vector_max_similarity,
+                "relevance_queries": self.relevance_queries,
+                "relevance_sessions": self.relevance_sessions,
+                "ewma_relevance_reward": self.ewma_relevance_reward,
                 "params": vars(self.params),
             }
         )
@@ -287,7 +322,8 @@ class SearchTuner:
             "vector_stage_observations", "vector_stage_empty_streak",
             "ewma_latency_ms", "ewma_kg_latency_share", "ewma_kg_utility",
             "ewma_graph_skip_rate", "ewma_graph_contribution_rate",
-            "ewma_vector_max_similarity",
+            "ewma_vector_max_similarity", "relevance_queries",
+            "relevance_sessions", "ewma_relevance_reward",
         ):
             setattr(t, k, j.get(k, getattr(t, k)))
         return t
