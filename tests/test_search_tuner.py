@@ -172,3 +172,73 @@ def test_has_converged() -> None:
         t.observe(QueryTelemetry(latency_ms=5.0))
     # steady band, no adjustments -> converged once warm + cooled
     assert t.has_converged()
+
+
+def _pressured(**kw):
+    base = dict(latency_ms=10.0, adaptive_fusion_enabled=True,
+                pre_fusion_unique_doc_count=100)
+    base.update(kw)
+    return QueryTelemetry(**base)
+
+
+def test_fusion_lexical_pressure_guardrail() -> None:
+    """drop 0.40 + anchored 0.20: tie-break on, floor topN 0->6, boost
+    +0.04, vector-only penalty raised to 0.85."""
+    t = SearchTuner(has_knowledge_graph=False)
+    tel = _pressured(fusion_dropped_doc_count=40,
+                     anchored_fusion_dropped_doc_count=20,
+                     anchored_pre_fusion_doc_count=100)
+    for _ in range(5):
+        d = t.observe(tel)
+    assert "fusion_lexical_pressure" in d
+    p = t.params
+    assert p.enable_lexical_tie_break
+    assert p.lexical_tie_break_epsilon == pytest.approx(0.0025)
+    assert p.lexical_floor_top_n == 6
+    assert p.lexical_floor_boost == pytest.approx(0.04)
+    assert p.vector_only_penalty == pytest.approx(0.85)
+    # sustained pressure walks the floor up but respects caps
+    for _ in range(60):
+        t.observe(tel)
+    assert p.lexical_floor_top_n <= 24
+    assert p.lexical_floor_boost <= 0.35 + 1e-9
+    assert p.lexical_tie_break_epsilon <= 0.015 + 1e-9
+
+
+def test_vector_only_guardrail_and_pool_resize() -> None:
+    """No lexical pressure but vector-only share 0.35 with 50% below
+    threshold: vector-only threshold drops 0.05; rescue slots grow only
+    when seeded > 0 and saturated; pool resize fires on the same signal
+    (share>=0.30, drop>=0.20)."""
+    t = SearchTuner(has_knowledge_graph=False)
+    t.params.semantic_rescue_slots = 2
+    t.params.semantic_rescue_min_vector_score = 0.60
+    tel = _pressured(fusion_dropped_doc_count=20,
+                     vector_only_doc_count=35,
+                     vector_only_below_threshold_count=20,
+                     semantic_rescue_final_count=9,
+                     semantic_rescue_target=10,
+                     post_fusion_doc_count=50)
+    for _ in range(5):
+        d = t.observe(tel)
+    assert "vector_only_pressure" in d and "result_pool_resize" in d
+    p = t.params
+    assert p.vector_only_threshold == pytest.approx(0.85)
+    assert p.semantic_rescue_slots == 3
+    assert p.semantic_rescue_min_vector_score == pytest.approx(0.55)
+    assert p.vector_max_results == 166 and p.text_max_results == 275
+
+
+def test_reranker_widen() -> None:
+    t = SearchTuner(has_knowledge_graph=False)
+    tel = _pressured(fusion_dropped_doc_count=30,
+                     anchored_fusion_dropped_doc_count=5,
+                     post_fusion_doc_count=100)
+    for _ in range(5):
+        d = t.observe(tel)
+    assert "reranker_widen" in d
+    assert t.params.rerank_top_k == 7
+    # cap at 30 under sustained pressure
+    for _ in range(80):
+        t.observe(tel)
+    assert t.params.rerank_top_k <= 30

@@ -24,10 +24,18 @@ cooldown (:64-65,:864-877) it applies bounded adjustments:
   [0.05, 0.70], resetting the streak; a zero streak with EWMA max-sim
   more than 0.20 above the threshold raises it by 0.02.
 
-Simplifications, stated once: the fusion-guardrail / result-pool /
-reranker sub-controllers (:884-890, three more rule families over drop-
-pressure EWMAs) and the overlay-stats short-circuits are not modeled;
-state persists through JSON like the MAB (``operators/tuner``).
+The fusion-guardrail sub-controllers are modeled too (gated on the
+``adaptiveFusionEnabled`` telemetry flag, :882-891): lexical drop
+pressure (drop ≥ 0.35 with anchored ≥ 0.18 or top-text ≥ 0.12) enables
+the lexical tie-break and grows the floor topN/boost (:513-571);
+otherwise vector-only pressure (share ≥ 0.25, below-threshold ≥ 0.40)
+lowers the vector-only threshold and grows rescue slots (:400-445);
+result-pool resize (vector-dominant ≥ 0.30 + drop ≥ 0.20 → vectorMax
++16/≤500, textMax −25/≥50, :452-484) and reranker widen (drop ≥ 0.25 +
+rerank-drop ≥ 0.10 → topK +2/≤30, :488-511). Simplification, stated
+once: the overlay-stats short-circuits and corpus-profile dead-source
+gates are not modeled; state persists through JSON like the MAB
+(``operators/tuner``).
 
 This is driver-side session state like the reference daemon's — batch
 jobs feed it observed telemetry (e.g. stage timings from the lineage
@@ -59,6 +67,30 @@ MAX_SIMILARITY_THRESHOLD = 0.70
 SIM_LOWER_STEP = 0.05
 SIM_RAISE_STEP = 0.02
 SIM_RAISE_MARGIN = 0.20
+#: fusion-guardrail thresholds/steps (search_tuner.cpp:93-113,446-455)
+FUSION_DROP_PRESSURE = 0.35
+ANCHORED_DROP_PRESSURE = 0.18
+TOP_TEXT_DROP_PRESSURE = 0.12
+MAX_LEXICAL_FLOOR_TOP_N = 24
+MAX_LEXICAL_FLOOR_BOOST = 0.35
+LEXICAL_FLOOR_BOOST_STEP = 0.04
+MAX_TIE_BREAK_EPSILON = 0.015
+TIE_BREAK_EPSILON_STEP = 0.0025
+MIN_VECTOR_ONLY_PENALTY = 0.85
+VECTOR_ONLY_PRESSURE_SHARE = 0.25
+VECTOR_ONLY_PRESSURE_DROP = 0.40
+SEMANTIC_RESCUE_SATURATION = 0.80
+VECTOR_ONLY_THRESHOLD_LOWER_STEP = 0.05
+MIN_VECTOR_ONLY_THRESHOLD = 0.65
+MAX_SEMANTIC_RESCUE_SLOTS = 12
+SEMANTIC_RESCUE_MIN_SCORE_LOWER_STEP = 0.05
+MIN_SEMANTIC_RESCUE_MIN_SCORE = 0.45
+MAX_VECTOR_MAX_RESULTS = 500
+VECTOR_MAX_RESULTS_STEP = 16
+MIN_TEXT_MAX_RESULTS = 50
+TEXT_MAX_RESULTS_STEP = 25
+MAX_RERANK_TOP_K = 30
+RERANK_TOP_K_STEP = 2
 
 
 @dataclass
@@ -78,6 +110,19 @@ class QueryTelemetry:
     kg_final_score_mass: float = 0.0
     kg_final_top_doc_count: int = 0
     top_window: int = 10
+    # fusion-guardrail counters (RuntimeTelemetry drop/pool signals)
+    adaptive_fusion_enabled: bool = False
+    fusion_dropped_doc_count: int = 0
+    pre_fusion_unique_doc_count: int = 0
+    anchored_fusion_dropped_doc_count: int = 0
+    anchored_pre_fusion_doc_count: int = 0
+    top_text_fusion_dropped_doc_count: int = 0
+    top_text_pre_fusion_doc_count: int = 0
+    post_fusion_doc_count: int = 0
+    vector_only_doc_count: int = 0
+    vector_only_below_threshold_count: int = 0
+    semantic_rescue_final_count: int = 0
+    semantic_rescue_target: int = 0
 
 
 @dataclass
@@ -89,6 +134,19 @@ class TunedParams:
     kg_weight: float = 0.04  # search_engine_config.h:82
     similarity_threshold: float = 0.40
     similarity_pinned: bool = False
+    # guardrail-tuned params (defaults: search_engine_config.h:85-86,
+    # :300-305, :369-384)
+    enable_lexical_tie_break: bool = False
+    lexical_tie_break_epsilon: float = 0.0
+    lexical_floor_top_n: int = 0
+    lexical_floor_boost: float = 0.0
+    vector_only_penalty: float = 0.8
+    vector_only_threshold: float = 0.90
+    semantic_rescue_slots: int = 0
+    semantic_rescue_min_vector_score: float = 0.0
+    text_max_results: int = 300
+    vector_max_results: int = 150
+    rerank_top_k: int = 5
 
 
 def _ewma(current: float, sample: float, observations: int) -> float:
@@ -160,9 +218,108 @@ class SearchTuner:
         self.ewma_graph_contribution_rate = _ewma(
             self.ewma_graph_contribution_rate, graph_contrib, n
         )
-        return self._adjust()
+        return self._adjust(t)
 
-    def _adjust(self) -> str:
+    def _fusion_guardrails(self, t: QueryTelemetry, reasons: list[str]) -> bool:
+        """applyFusionGuardrailAdjustments (search_tuner.cpp:513-571):
+        lexical drop pressure turns on tie-break + grows the lexical
+        floor; otherwise the vector-only guardrail (:400-445) may lower
+        the vector-only threshold / grow rescue slots."""
+        p = self.params
+        drop = _share(t.fusion_dropped_doc_count, max(t.pre_fusion_unique_doc_count, 1))
+        anchored = _share(t.anchored_fusion_dropped_doc_count, t.anchored_pre_fusion_doc_count)
+        top_text = _share(t.top_text_fusion_dropped_doc_count, t.top_text_pre_fusion_doc_count)
+        lexical_pressure = drop >= FUSION_DROP_PRESSURE and (
+            anchored >= ANCHORED_DROP_PRESSURE or top_text >= TOP_TEXT_DROP_PRESSURE
+        )
+        if not lexical_pressure:
+            return self._vector_only_guardrails(t, reasons)
+        changed = False
+        if not p.enable_lexical_tie_break:
+            p.enable_lexical_tie_break = True
+            changed = True
+        nxt = min(MAX_TIE_BREAK_EPSILON,
+                  max(p.lexical_tie_break_epsilon, TIE_BREAK_EPSILON_STEP))
+        if nxt > p.lexical_tie_break_epsilon + 1e-6:
+            p.lexical_tie_break_epsilon = nxt
+            changed = True
+        desired = (min(6, MAX_LEXICAL_FLOOR_TOP_N) if p.lexical_floor_top_n == 0
+                   else min(MAX_LEXICAL_FLOOR_TOP_N, p.lexical_floor_top_n + 2))
+        if desired > p.lexical_floor_top_n:
+            p.lexical_floor_top_n = desired
+            changed = True
+        nxt = min(MAX_LEXICAL_FLOOR_BOOST,
+                  max(p.lexical_floor_boost + LEXICAL_FLOOR_BOOST_STEP,
+                      LEXICAL_FLOOR_BOOST_STEP))
+        if nxt > p.lexical_floor_boost + 1e-6:
+            p.lexical_floor_boost = nxt
+            changed = True
+        if p.vector_only_penalty < MIN_VECTOR_ONLY_PENALTY:
+            p.vector_only_penalty = MIN_VECTOR_ONLY_PENALTY
+            changed = True
+        if changed:
+            reasons.append("fusion_lexical_pressure")
+        return changed
+
+    def _vector_only_guardrails(self, t: QueryTelemetry, reasons: list[str]) -> bool:
+        p = self.params
+        vo_drop = _share(t.vector_only_below_threshold_count, t.vector_only_doc_count)
+        vo_share = _share(t.vector_only_doc_count, t.pre_fusion_unique_doc_count)
+        if not (vo_share >= VECTOR_ONLY_PRESSURE_SHARE and vo_drop >= VECTOR_ONLY_PRESSURE_DROP):
+            return False
+        changed = False
+        nxt = max(MIN_VECTOR_ONLY_THRESHOLD,
+                  p.vector_only_threshold - VECTOR_ONLY_THRESHOLD_LOWER_STEP)
+        if nxt + 1e-5 < p.vector_only_threshold:
+            p.vector_only_threshold = nxt
+            changed = True
+        rescue_rate = _share(t.semantic_rescue_final_count, t.semantic_rescue_target)
+        if (p.semantic_rescue_slots > 0
+                and rescue_rate >= SEMANTIC_RESCUE_SATURATION
+                and p.semantic_rescue_slots < MAX_SEMANTIC_RESCUE_SLOTS):
+            p.semantic_rescue_slots += 1
+            changed = True
+        nxt = max(MIN_SEMANTIC_RESCUE_MIN_SCORE,
+                  p.semantic_rescue_min_vector_score - SEMANTIC_RESCUE_MIN_SCORE_LOWER_STEP)
+        if nxt + 1e-6 < p.semantic_rescue_min_vector_score:
+            p.semantic_rescue_min_vector_score = nxt
+            changed = True
+        if changed:
+            reasons.append("vector_only_pressure")
+        return changed
+
+    def _pool_and_reranker(self, t: QueryTelemetry, reasons: list[str]) -> bool:
+        """applyResultPoolAdjustments (:452-484) + applyRerankerAdjustments
+        (:488-511)."""
+        p = self.params
+        changed = False
+        drop = _share(t.fusion_dropped_doc_count, max(t.pre_fusion_unique_doc_count, 1))
+        vo_share = _share(t.vector_only_doc_count, t.pre_fusion_unique_doc_count)
+        if vo_share >= 0.30 and drop >= 0.20:
+            nxt = min(MAX_VECTOR_MAX_RESULTS, p.vector_max_results + VECTOR_MAX_RESULTS_STEP)
+            if nxt > p.vector_max_results:
+                p.vector_max_results = nxt
+                changed = True
+            if p.text_max_results > MIN_TEXT_MAX_RESULTS + TEXT_MAX_RESULTS_STEP:
+                p.text_max_results = max(
+                    MIN_TEXT_MAX_RESULTS, p.text_max_results - TEXT_MAX_RESULTS_STEP
+                )
+                changed = True
+            if changed:
+                reasons.append("result_pool_resize")
+        rerank_drop = _share(
+            max(0, t.fusion_dropped_doc_count - t.anchored_fusion_dropped_doc_count),
+            max(t.post_fusion_doc_count, 1),
+        )
+        if drop >= 0.25 and rerank_drop >= 0.10:
+            nxt = min(MAX_RERANK_TOP_K, p.rerank_top_k + RERANK_TOP_K_STEP)
+            if nxt > p.rerank_top_k:
+                p.rerank_top_k = nxt
+                changed = True
+                reasons.append("reranker_widen")
+        return changed
+
+    def _adjust(self, t: QueryTelemetry | None = None) -> str:
         warmed = self.observations >= WARMUP_OBSERVATIONS
         cooled = (
             self.observations
@@ -178,6 +335,12 @@ class SearchTuner:
         p = self.params
         changed = False
         reasons: list[str] = []
+
+        # fusion-guardrail / pool / reranker families run first, gated on
+        # adaptiveFusionEnabled telemetry (:882-891)
+        if t is not None and t.adaptive_fusion_enabled:
+            changed = self._fusion_guardrails(t, reasons) or changed
+            changed = self._pool_and_reranker(t, reasons) or changed
 
         if not self.has_knowledge_graph:
             reasons.append("steady_no_kg")
