@@ -1906,6 +1906,28 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the third ANN tier — probe-pruned
+    candidate lists, PQ asymmetric-distance shortlist, exact cosine
+    rerank. Batched over 3 queries at nprobe=4/16 lists. Rows-only
+    (k-means + PQ training aren't SQL); pytest pins full-probe ≡ exact
+    and clustered recall."""
+    _ship_package(spark)
+    from yams_spark.operators.ivf import ivf_pq_index, ivf_pq_topk_multi
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = ivf_pq_index(e, n_lists=16, m=4)
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_pq_topk_multi(idx[2], idx[0], idx[1], q, k=10, nprobe=4)
+    return out.select(
+        "query_id", "vec_id",
+        F.round("cosine", 6).cast("double").alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize over the deterministic synthetic media
     table: REAL codecs for PPM/PNG images (pixel decode, channel stats +
@@ -2121,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid": search_hybrid,
         "ann_pq_adc": ann_pq_adc,
         "ann_ivf": ann_ivf,
+        "ann_ivf_pq": ann_ivf_pq,
         "media_features": media_features,
         "topology_quality": topology_quality,
         # --- substantive stable oracles (kept inside the window)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from yams_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
 
@@ -123,3 +124,94 @@ def test_ivf_topk_multi_matches_exact_at_full_probe(spark, clustered_corpus) -> 
         by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
     assert by_q[0] == {1, 2, 3, 4}
     assert by_q[17] <= set(range(15, 20))
+
+
+def test_ivf_pq_full_probe_equals_exact(spark) -> None:
+    """IVFADC with nprobe=n_lists and a rerank pool covering the corpus
+    must EQUAL exact search — the final rerank is exact cosine."""
+    import numpy as np
+
+    from yams_spark.operators.ann import cosine_topk
+    from yams_spark.operators.ivf import ivf_pq_index, ivf_pq_topk_multi
+
+    rng = np.random.default_rng(13)
+    n, dim = 60, 16
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rk"]): r["vec_id"]
+        for r in cosine_topk(spark, corpus, queries, k=5).collect()
+    }
+    idx = ivf_pq_index(corpus, n_lists=8, m=4)
+    got = {
+        (r["query_id"], r["rk"]): r["vec_id"]
+        for r in ivf_pq_topk_multi(
+            *([idx[2], idx[0], idx[1]]), queries, k=5, nprobe=8,
+            rerank_factor=n,
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_pq_recall_and_determinism(spark) -> None:
+    """Clustered corpus: nprobe=2 of 8 lists still finds the true
+    neighbors (same-cluster points land in the probed lists); repeated
+    runs identical."""
+    import numpy as np
+
+    from yams_spark.operators.ann import cosine_topk
+    from yams_spark.operators.ivf import ivf_pq_index, ivf_pq_topk_multi
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 10
+    rows = []
+    for i in range(160):
+        c = centers[i % 8] + rng.normal(size=16) * 0.05
+        rows.append((i, [float(x) for x in c]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = ivf_pq_index(corpus, n_lists=8, m=4)
+    run = lambda: {
+        (r["query_id"], r["rk"]): r["vec_id"]
+        for r in ivf_pq_topk_multi(
+            idx[2], idx[0], idx[1], queries, k=5, nprobe=2
+        ).collect()
+    }
+    got = run()
+    assert run() == got  # deterministic
+    exact = {
+        (r["query_id"], r["rk"]): r["vec_id"]
+        for r in cosine_topk(spark, corpus, queries, k=5).collect()
+    }
+    overlap = len(set(got.values()) & set(exact.values()))
+    assert overlap / len(exact) >= 0.8  # high recall on clustered data
+
+
+def test_cosine_topk_third_tier_route(spark) -> None:
+    """lsh_max_rows gate: exceeded -> the IVFADC path runs (results match
+    full-probe exact); unset -> behavior identical to before."""
+    import numpy as np
+
+    from yams_spark.operators.ann import cosine_topk
+    from yams_spark.operators.ivf import ivf_pq_index
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = sorted(map(tuple, cosine_topk(spark, corpus, queries, k=3).collect()))
+    idx = ivf_pq_index(corpus, n_lists=4, m=4)
+    routed = sorted(map(tuple, cosine_topk(
+        spark, corpus, queries, k=3, corpus_rows=40,
+        lsh_max_rows=10, ivf_pq_index=idx, nprobe=4,
+    ).collect()))
+    # full probe (nprobe = n_lists) + default rerank pool on a tiny
+    # corpus: shortlist covers the true top-3, so results match exact
+    assert routed == base

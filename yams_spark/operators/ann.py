@@ -208,20 +208,49 @@ def cosine_topk(
     round_to: int = 5,
     max_exact_rows: int = EXACT_MAX_CORPUS_ROWS,
     corpus_rows: int | None = None,
+    lsh_max_rows: int | None = None,
+    ivf_pq_index=None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Top-k neighbors per query (excluding self id), scale-gated.
 
-    Exact broadcast matmul while the corpus fits the reference's 250k
-    exact-path budget; LSH-bucketed approximate search above it (the
-    corpus never leaves the executors). Returns (query_id, vec_id, cosine,
-    rk); cosine rounded for stable cross-engine comparison; ties broken by
-    vec_id asc. ``corpus_rows`` is an optional size hint: when the caller
-    already knows the corpus cardinality, passing it skips the count()
-    job the gate would otherwise run per invocation.
+    Three tiers: exact broadcast matmul while the corpus fits the
+    reference's 250k exact-path budget; LSH-bucketed approximate search
+    above it (the corpus never leaves the executors); and — when
+    ``lsh_max_rows`` is set and exceeded — the IVFADC route
+    (``ivf.ivf_pq_topk_multi``: probe-pruned candidate join, PQ
+    asymmetric-distance shortlist, exact rerank), the shape that holds
+    at 10^9+ vectors where even band-bucketed exact cosine pays too much.
+    ``ivf_pq_index`` is an optional prebuilt ``ivf.ivf_pq_index`` triple
+    (centroids, codebooks, indexed) — at deployment the index is built
+    once and persisted partitioned by list_id; absent, it is built on
+    the fly. Defaults keep the 2-tier behavior, so every existing oracle
+    is unchanged.
+
+    Returns (query_id, vec_id, cosine, rk); cosine rounded for stable
+    cross-engine comparison; ties broken by vec_id asc. ``corpus_rows``
+    is an optional size hint: when the caller already knows the corpus
+    cardinality, passing it skips the count() job the gate would
+    otherwise run per invocation.
     """
     n_rows = corpus_rows if corpus_rows is not None else (
         corpus.count() if max_exact_rows is not None else 0
     )
+    if lsh_max_rows is not None and n_rows > lsh_max_rows:
+        from yams_spark.operators.ivf import (
+            IVF_NPROBE,
+            ivf_pq_index as build_index,
+            ivf_pq_topk_multi,
+        )
+
+        if ivf_pq_index is None:
+            ivf_pq_index = build_index(corpus, id_col, vec_col)
+        centroids, codebooks, indexed = ivf_pq_index
+        return ivf_pq_topk_multi(
+            indexed, centroids, codebooks, queries, k,
+            nprobe=nprobe or IVF_NPROBE, id_col=id_col,
+            query_id_col=query_id_col, vec_col=vec_col, round_to=round_to,
+        )
     if max_exact_rows is not None and n_rows > max_exact_rows:
         return cosine_topk_bucketed(
             corpus, queries, k, id_col, query_id_col, vec_col, round_to
