@@ -23,6 +23,9 @@ stubs formats whose codecs genuinely don't exist here):
 * **JPEG (baseline sequential)** — ``functions/jpeg_codec``: canonical
   Huffman decode, dequant + exact float IDCT, 4:4:4/4:2:2/4:2:0
   sampling, JFIF YCbCr→RGB; progressive/arithmetic raise.
+* **FLAC (lossless)** — ``functions/flac_codec``: rice-coded residuals,
+  CONSTANT/VERBATIM/FIXED/LPC subframes, stereo decorrelation, CRC-8/16
+  verification; decode is bit-exact by format.
 
 MP3 (and video containers) remain the honest strict-mode boundary —
 their codecs genuinely don't exist in this container.
@@ -487,6 +490,8 @@ REAL_DECODABLE = {
     "image/jpeg",
     "audio/wav",
     "audio/x-wav",
+    "audio/flac",
+    "audio/x-flac",
 }
 
 
@@ -508,4 +513,10 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray | None:
         return image_features(decode_jpeg(payload))
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav(payload))
+    if mime in ("audio/flac", "audio/x-flac"):
+        from yams_spark.functions.flac_codec import decode_flac
+
+        samples, rate = decode_flac(payload)
+        mono = samples.mean(axis=1) / 32768.0  # 16-bit full scale
+        return audio_features(mono.astype(np.float64), rate)
     return None

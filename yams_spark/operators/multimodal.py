@@ -155,10 +155,17 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
             duration = None
         elif kind == "audio":
             t = np.arange(800) / 8000.0
-            payload = encode_wav(
-                0.5 * np.sin(2 * np.pi * (200 + 40 * i) * t), rate=8000
-            )
-            mime, width, height, duration = "audio/wav", None, None, None
+            tone = 0.5 * np.sin(2 * np.pi * (200 + 40 * i) * t)
+            if i % 6 == 1:  # alternate the two REAL audio codecs
+                from yams_spark.functions.flac_codec import encode_flac
+
+                payload = encode_flac(
+                    (tone * 32767).astype(np.int32), rate=8000
+                )
+                mime = "audio/flac"
+            else:
+                payload, mime = encode_wav(tone, rate=8000), "audio/wav"
+            width, height, duration = None, None, None
         else:
             payload = hashlib.blake2b(
                 f"media{i}".encode(), digest_size=16
