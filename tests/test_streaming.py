@@ -7,6 +7,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from yams_spark.sources.pages import generate_pages_pdf
 from yams_spark.streaming.ingest import start_ingest_stream, windowed_event_counts
@@ -142,3 +143,63 @@ def test_incremental_er_equals_batch(spark, sf_dir, tmp_path_factory) -> None:
         for r in accumulated_accepted_pairs(spark, store).collect()
     }
     assert again == want
+
+
+def test_incremental_kg_equals_batch(spark, sf_dir, tmp_path_factory) -> None:
+    """Stream-accumulated mentions + derive-on-demand equal batch
+    populate_kg over the union corpus; replay with a fresh checkpoint is
+    idempotent (same store partitions rewritten)."""
+    from yams_spark.operators.kg import populate_kg
+    from yams_spark.streaming.incremental_kg import (
+        kg_tables_from_store,
+        start_incremental_kg,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(filter(split(text, ' '), x -> x <> ''), "
+            "x -> CASE WHEN substring(x, 1, 1) IN ('s', 't') "
+            "THEN concat(upper(substring(x, 1, 1)), substring(x, 2)) "
+            "ELSE x END), ' ')"
+        ).alias("text"),
+    ).limit(60)
+
+    in_dir = str(tmp_path_factory.mktemp("ikg_in"))
+    docs.where("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(in_dir)
+    docs.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(in_dir)
+
+    store = str(tmp_path_factory.mktemp("ikg_store"))
+    q = start_incremental_kg(
+        spark, in_dir, store, str(tmp_path_factory.mktemp("ikg_ck")),
+        trigger_once=True,
+    )
+    q.awaitTermination(240)
+    derived = kg_tables_from_store(spark, store, pagerank_iters=3)
+    batch = populate_kg(docs, pagerank_iters=3)
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(derived["kg_doc_entities"],
+                ["document_id", "entity_text", "start_offset"]) == rows(
+        batch["kg_doc_entities"], ["document_id", "entity_text", "start_offset"])
+    assert rows(derived["kg_nodes"], ["node_key", "label", "times_seen"]) == rows(
+        batch["kg_nodes"], ["node_key", "label", "times_seen"])
+    assert rows(derived["kg_aliases"], ["node_key", "alias", "confidence"]) == rows(
+        batch["kg_aliases"], ["node_key", "alias", "confidence"])
+    assert rows(derived["kg_edges"], ["src", "dst", "weight"]) == rows(
+        batch["kg_edges"], ["src", "dst", "weight"])
+    sd = rows(derived["kg_node_stats"], ["node", "degree"])
+    assert sd == rows(batch["kg_node_stats"], ["node", "degree"]) and sd
+
+    # replay: fresh checkpoint, same store -> identical mention set
+    q2 = start_incremental_kg(
+        spark, in_dir, store, str(tmp_path_factory.mktemp("ikg_ck2")),
+        trigger_once=True,
+    )
+    q2.awaitTermination(240)
+    again = kg_tables_from_store(spark, store, pagerank_iters=3)
+    assert rows(again["kg_doc_entities"], ["document_id", "entity_text",
+                                           "start_offset"]) == rows(
+        batch["kg_doc_entities"], ["document_id", "entity_text", "start_offset"])
