@@ -150,67 +150,93 @@ def _build_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[i
     return {v: (c, l) for (l, c), v in _build_decode_table(bits, values).items()}
 
 
+def _build_fast_table(table: dict[tuple[int, int], int]) -> dict[int, tuple[int, int]]:
+    """{16-bit peek: (symbol, code_length)} — every code padded to all its
+    16-bit extensions so one peek resolves any symbol. Built lazily per
+    (decode-table id), ~65k entries filled in runs."""
+    fast: dict[int, tuple[int, int]] = {}
+    for (length, code), sym in table.items():
+        base = code << (16 - length)
+        for ext in range(1 << (16 - length)):
+            fast[base | ext] = (sym, length)
+    return fast
+
+
 class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; stops at any non-RST marker."""
+    """MSB-first bit cursor over the UNSTUFFED entropy-coded segment.
+
+    The 0xFF00 byte-unstuffing is done once up front (one bytes scan)
+    instead of per fill; reads are integer slices of a window, and
+    Huffman decode is a single 16-bit peek into a flattened code table —
+    the loops-per-bit of the naive reader were the decode hot spot."""
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
+        # unstuff until the next marker (non-0x00, non-RST after 0xFF)
+        out = bytearray()
+        i = pos
+        n = len(data)
+        while i < n:
+            b = data[i]
+            if b == 0xFF:
+                nxt = data[i + 1] if i + 1 < n else 0xD9
+                if nxt == 0x00:
+                    out.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:  # restart marker: keep scanning
+                    self._restarts = getattr(self, "_restarts", [])
+                    self._restarts.append(len(out))
+                    i += 2
+                    continue
+                break
+            out.append(b)
+            i += 1
+        self.buf = bytes(out) + b"\x00\x00\x00"  # peek padding
+        self.bitpos = 0
+        self.end_pos = i  # marker position in the original stream
+        self._fast_cache: dict[int, dict] = {}
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
-            else:
-                raise ValueError("JPEG entropy stream hit marker prematurely")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def _peek16(self) -> int:
+        byte, bit = divmod(self.bitpos, 8)
+        window = int.from_bytes(self.buf[byte : byte + 3], "big")
+        return (window >> (8 - bit)) & 0xFFFF
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        byte, bit = divmod(self.bitpos, 8)
+        need = (bit + n + 7) // 8
+        window = int.from_bytes(self.buf[byte : byte + need], "big")
+        if byte + need > len(self.buf):
+            raise ValueError("JPEG entropy stream truncated")
+        self.bitpos += n
+        return (window >> (need * 8 - bit - n)) & ((1 << n) - 1)
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
 
     def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("JPEG invalid Huffman code")
-
-    def align_to_marker(self) -> None:
-        self.acc = 0
-        self.nbits = 0
+        fast = self._fast_cache.get(id(table))
+        if fast is None:
+            fast = _build_fast_table(table)
+            self._fast_cache[id(table)] = fast
+        hit = fast.get(self._peek16())
+        if hit is None:
+            raise ValueError("JPEG invalid Huffman code")
+        sym, length = hit
+        self.bitpos += length
+        return sym
 
     def skip_restart(self) -> None:
-        # reader is byte-aligned conceptually; find the RST marker bytes
-        while self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
-            self.pos += 1
-        self.pos += 2
-        self.align_to_marker()
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker: int):
-        self.marker = marker
+        """Advance past the next restart boundary (recorded during the
+        unstuffing scan) and byte-align."""
+        restarts = getattr(self, "_restarts", [])
+        cur_byte = (self.bitpos + 7) // 8
+        for r in restarts:
+            if r >= cur_byte:
+                self.bitpos = r * 8
+                return
+        raise ValueError("JPEG missing restart marker")
 
 
 def _extend(v: int, t: int) -> int:
