@@ -1540,6 +1540,73 @@ def q70_mab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_graph_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_vector fusion component (search_engine_config.h:84 weight
+    0.08, :367 penalty 0.82): expansion seed nodes (q65 seeds), seed-
+    score-weighted centroid of their node embeddings (doc-centroid node
+    vectors, migration.cpp:903-910), cosine over the embeddings table ×
+    penalty, positives only, top-150."""
+    _ship_package(spark)
+    from yams_spark.operators.graph_expansion import (
+        graph_expansion_seeds,
+        graph_vector_component,
+    )
+    from yams_spark.operators.kg import (
+        build_kg_aliases,
+        build_kg_node_embeddings,
+        build_kg_nodes,
+        extract_doc_entities,
+    )
+
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    seeds = graph_expansion_seeds(
+        _Q65_QUERY,
+        build_kg_aliases(ents),
+        build_kg_nodes(ents, include_doc_nodes=False),
+    )
+    node_emb = build_kg_node_embeddings(ents, _t(spark, sf_dir, "embeddings"))
+    comp = graph_vector_component(
+        seeds, node_emb.select("node_key", "embedding"),
+        _t(spark, sf_dir, "embeddings"),
+    )
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q72_entity_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entity_vector fusion component (queryEntityVectorsPipeline,
+    search_vector_pipeline.cpp:421-487; weight 0.05
+    search_engine_config.h:85, cap 100 :373): cosine(query, node
+    embedding) for every KG node vector, top-100 nodes, mapped to their
+    documents, best score per doc. Query = embeddings row vec_id=0."""
+    _ship_package(spark)
+    from yams_spark.operators.components import entity_vector_component
+    from yams_spark.operators.kg import (
+        build_kg_node_embeddings,
+        extract_doc_entities,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = [float(x) for x in
+          e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    node_emb = build_kg_node_embeddings(ents, e)
+    node_docs = ents.select(
+        "node_key", F.col("document_id").alias("doc_id")
+    ).distinct()
+    comp = entity_vector_component(
+        qe, node_emb.select("node_key", "embedding"), node_docs
+    )
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 #: q69 synthetic query per document — identical SQL for Spark and DuckDB
 #: (concat/substring/CASE agree); exercises every routing branch
 _Q69_SYNTH = """
@@ -2112,6 +2179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_concept_boost": q68_concept_boost,
         "q69_query_router": q69_query_router,
         "q70_mab_stats": q70_mab_stats,
+        "q71_graph_vector": q71_graph_vector,
+        "q72_entity_vector": q72_entity_vector,
         "q51_hotzone_fusion": q51_hotzone_fusion,
         "q52_prefix_match": q52_prefix_match,
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
@@ -3797,6 +3866,110 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q68_concept_boost": _q68_oracle_sql(),
         "q69_query_router": _q69_oracle_sql(),
+        "q71_graph_vector": f"""
+            WITH {_q65_expansion_cte()},
+            pairs2 AS (
+                SELECT DISTINCT 'nl_entity:span:' || lower(e) AS node_key,
+                       doc_id
+                FROM m WHERE length(e) >= 3),
+            je AS (
+                SELECT pairs2.node_key, emb.embedding
+                FROM pairs2 JOIN embeddings emb ON emb.vec_id = pairs2.doc_id),
+            ndims AS (
+                SELECT node_key,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                           AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM je),
+            navg AS (
+                SELECT node_key, pos, AVG(val) AS nval
+                FROM ndims GROUP BY node_key, pos),
+            wc AS (
+                SELECT navg.pos,
+                       SUM(navg.nval * seeds.seed_score)
+                           / SUM(seeds.seed_score) AS c
+                FROM navg JOIN seeds USING (node_key) GROUP BY navg.pos),
+            cn AS (SELECT sqrt(SUM(c * c)) AS cn FROM wc),
+            docdims AS (
+                SELECT vec_id AS doc_id,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                           AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings),
+            dotn AS (
+                SELECT doc_id, SUM(val * wc.c) AS dot,
+                       sqrt(SUM(val * val)) AS dn
+                FROM docdims JOIN wc USING (pos) GROUP BY doc_id),
+            sc AS (
+                SELECT doc_id,
+                       CASE WHEN dn > 0 AND cn.cn > 0
+                            THEN dot / (dn * cn.cn) ELSE 0.0 END * 0.82
+                           AS score
+                FROM dotn CROSS JOIN cn),
+            r AS (
+                SELECT doc_id, score, ROW_NUMBER() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rk
+                FROM sc WHERE score > 0)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'graph_vector' AS source,
+                   CAST(ROUND(score, 6) AS DOUBLE) AS score,
+                   CAST(rk - 1 AS BIGINT) AS "rank"
+            FROM r WHERE rk <= 150
+        """,
+        "q72_entity_vector": f"""
+            WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            qd AS (
+                SELECT CAST(generate_subscripts(qe, 1) - 1 AS INTEGER) AS pos,
+                       CAST(unnest(qe) AS DOUBLE) AS val
+                FROM qv),
+            qn AS (SELECT sqrt(SUM(val * val)) AS n2 FROM qd),
+            p AS (SELECT doc_id, {_KG_CAP_DUCK} AS ptext FROM documents),
+            m AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(ptext, '{_KG_PATTERN_DUCK}')) AS e
+                FROM p),
+            prs AS (
+                SELECT DISTINCT 'nl_entity:span:' || lower(e) AS node_key, doc_id
+                FROM m WHERE length(e) >= 3),
+            je AS (
+                SELECT prs.node_key, emb.embedding
+                FROM prs JOIN embeddings emb ON emb.vec_id = prs.doc_id),
+            ndims AS (
+                SELECT node_key,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM je),
+            navg AS (
+                SELECT node_key, pos, AVG(val) AS nval
+                FROM ndims GROUP BY node_key, pos),
+            nsc AS (
+                SELECT navg.node_key, SUM(navg.nval * qd.val) AS dot,
+                       sqrt(SUM(navg.nval * navg.nval)) AS n1
+                FROM navg JOIN qd USING (pos) GROUP BY navg.node_key),
+            ncos AS (
+                SELECT node_key,
+                       CASE WHEN n1 > 0 THEN dot / (n1 * qn.n2)
+                            ELSE 0.0 END AS cos
+                FROM nsc CROSS JOIN qn),
+            topn AS (
+                SELECT * FROM (
+                    SELECT node_key, cos, ROW_NUMBER() OVER (
+                        ORDER BY cos DESC, node_key ASC) AS nrk
+                    FROM ncos WHERE cos >= 0.0)
+                WHERE nrk <= 100),
+            perdoc AS (
+                SELECT prs.doc_id, MAX(topn.cos) AS score
+                FROM topn JOIN prs USING (node_key) GROUP BY prs.doc_id),
+            r AS (
+                SELECT doc_id, score, ROW_NUMBER() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rk
+                FROM perdoc)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'entity_vector' AS source,
+                   CAST(ROUND(score, 6) AS DOUBLE) AS score,
+                   CAST(rk - 1 AS BIGINT) AS "rank"
+            FROM r WHERE rk <= 100
+        """,
         "q70_mab_stats": """
             WITH r AS (
                 SELECT event_type AS arm_id,

@@ -124,6 +124,43 @@ def _map_expr(col, mapping: dict[str, float], default: float):
     return expr
 
 
+def graph_expansion_seeds(
+    query: str,
+    kg_aliases: DataFrame,
+    kg_nodes: DataFrame,
+    max_seeds: int = DEFAULT_MAX_SEEDS,
+) -> DataFrame:
+    """(node_key, seed_score): the expansion's seed nodes — exact alias
+    hits of the query surfaces, scored confidence × node-type weight,
+    top ``max_seeds`` (score desc, node asc). Shared by the term
+    expansion (graph_text) and the seed-centroid vector leg
+    (graph_vector)."""
+    tokens = kg_query_tokens(query)
+    if not tokens:
+        raise ValueError("no query surfaces derivable for graph expansion")
+    ntype = kg_nodes.select(
+        "node_key",
+        _map_expr(F.col("type"), NODE_TYPE_WEIGHTS, 0.60).alias("node_w"),
+    )
+    seeds = (
+        kg_aliases.select(
+            "node_key", F.lower(F.col("alias")).alias("alias_norm"), "confidence"
+        )
+        .where(F.col("alias_norm").isin(tokens))
+        .join(ntype, "node_key")
+        .select(
+            "node_key",
+            (F.col("confidence") * F.col("node_w")).alias("seed_score"),
+        )
+        .where(F.col("seed_score") > 0)
+        .groupBy("node_key")
+        .agg(F.max("seed_score").alias("seed_score"))
+    )
+    return seeds.orderBy(
+        F.col("seed_score").desc(), F.col("node_key").asc()
+    ).limit(max_seeds)
+
+
 def graph_expansion_terms(
     query: str,
     kg_aliases: DataFrame,
@@ -145,9 +182,7 @@ def graph_expansion_terms(
     neighbor alias surfaces, each ``seed_score × node_weight [×
     relation_weight × clamp(edge_weight, .1, 1)] × clamp(conf, .2, 1) ×
     source_weight``; >= 3 chars, max per term, top ``max_terms``."""
-    tokens = kg_query_tokens(query)
-    if not tokens:
-        raise ValueError("no query surfaces derivable for graph expansion")
+    top_seeds = graph_expansion_seeds(query, kg_aliases, kg_nodes, max_seeds)
     ntype = kg_nodes.select(
         "node_key",
         _map_expr(F.col("type"), NODE_TYPE_WEIGHTS, 0.60).alias("node_w"),
@@ -157,19 +192,6 @@ def graph_expansion_terms(
         F.lower(F.col("alias")).alias("alias_norm"),
         "alias", "source", "confidence",
     )
-    seeds = (
-        al.where(F.col("alias_norm").isin(tokens))
-        .join(ntype, "node_key")
-        .select(
-            "node_key",
-            (F.col("confidence") * F.col("node_w")).alias("seed_score"),
-        )
-        .where(F.col("seed_score") > 0)
-        .groupBy("node_key")
-        .agg(F.max("seed_score").alias("seed_score"))
-    )
-    seed_order = [F.col("seed_score").desc(), F.col("node_key").asc()]
-    top_seeds = seeds.orderBy(*seed_order).limit(max_seeds)
 
     # contributing nodes: the seed itself (factor 1) + 1-hop neighbors
     # (relation × edge-weight factor), neighbors capped per seed
