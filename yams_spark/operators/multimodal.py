@@ -104,6 +104,49 @@ def extract_media_features(
     )
 
 
+def extract_container_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, brand, duration_ms, n_tracks, video_codec, width,
+    height): REAL ISO-BMFF container parsing for video rows
+    (functions/mp4_meta — the metadata tier the reference's extractor
+    surfaces without decoding frames). Non-MP4 / unparseable rows yield
+    nulls. One Arrow pass, narrow."""
+
+    def compute(iterator):
+        from yams_spark.functions.mp4_meta import parse_mp4
+
+        for pdf in iterator:
+            rows = []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                brand = dur = n_tracks = codec = w = h = None
+                if mime == "video/mp4" and payload is not None:
+                    try:
+                        meta = parse_mp4(bytes(payload))
+                        brand = meta["brand"]
+                        dur = meta["duration_ms"]
+                        n_tracks = len(meta["tracks"])
+                        vids = [t for t in meta["tracks"] if t["kind"] == "vide"]
+                        if vids:
+                            codec = vids[0]["codec"]
+                            w, h = vids[0]["width"], vids[0]["height"]
+                    except ValueError:
+                        pass
+                rows.append((mid, brand, dur, n_tracks, codec, w, h))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "brand", "duration_ms", "n_tracks",
+                             "video_codec", "width", "height"],
+                )
+
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        compute,
+        schema="media_id string, brand string, duration_ms long, "
+        "n_tracks long, video_codec string, width long, height long",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: (media_id, frame_ts_ms) rows from the
     duration metadata — the schedule is real; frame decode is the stubbed
@@ -167,10 +210,23 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
                 payload, mime = encode_wav(tone, rate=8000), "audio/wav"
             width, height, duration = None, None, None
         else:
-            payload = hashlib.blake2b(
-                f"media{i}".encode(), digest_size=16
-            ).digest() * (4 + i % 5)
-            mime, width, height = "video/mp4", None, None
+            # REAL structural MP4 container (box tree parses for true
+            # metadata); frame payloads remain absent — the pixel decode
+            # is the strict-mode boundary
+            from yams_spark.functions.mp4_meta import build_mp4
+
             duration = (i + 1) * 750
+            width, height = 320 + 16 * (i % 4), 240 + 16 * (i % 4)
+            payload = build_mp4(
+                duration_ms=duration,
+                tracks=[
+                    {"kind": "vide", "codec": "avc1", "width": width,
+                     "height": height, "duration_ms": duration},
+                    {"kind": "soun", "codec": "mp4a", "width": 0,
+                     "height": 0, "duration_ms": duration},
+                ],
+                use_64bit=(i % 6 == 2),
+            )
+            mime = "video/mp4"
         rows.append((f"m{i:04d}", kind, payload, mime, width, height, duration))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
