@@ -108,3 +108,21 @@ def test_cli_route_and_facets(spark, tmp_path, capsys) -> None:
         ["facets", "lang", "--sample-digits", "1", "--docs", p], spark=spark
     ) == 0
     assert all(r["approximate"] for r in _jsonl(capsys))
+
+
+def test_cli_graph_bfs(spark, tmp_path, capsys) -> None:
+    edges = spark.createDataFrame(
+        [("a", "b", "r1"), ("b", "c", "r1"), ("a", "x", "r2")],
+        "src string, dst string, relation string",
+    )
+    p = str(tmp_path / "edges.parquet")
+    edges.write.parquet(p)
+    assert main(["graph", "a", "--edges", p, "--depth", "2"], spark=spark) == 0
+    rows = _jsonl(capsys)
+    assert {(r["node"], r["depth"]) for r in rows} == {
+        ("a", 0), ("b", 1), ("x", 1), ("c", 2),
+    }
+    # relation filter prunes the r2 edge
+    assert main(["graph", "a", "--edges", p, "--relation", "r1"],
+                spark=spark) == 0
+    assert {r["node"] for r in _jsonl(capsys)} == {"a", "b", "c"}

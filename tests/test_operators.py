@@ -670,3 +670,47 @@ def test_bpe_tokens() -> None:
     ]
     assert bpe_tokens("") == []
     assert bpe_tokens("   ") == []
+
+
+def test_bmp_codec_real_decode() -> None:
+    """BMP: 24-bit round-trip with row padding, top-down vs bottom-up,
+    8-bit palette, unsupported variants raise."""
+    import numpy as np
+
+    from yams_spark.functions import media_codecs as mc
+
+    rng = np.random.default_rng(21)
+    for shape in [(5, 7, 3), (4, 4, 3), (3, 6, 3)]:  # odd widths pad rows
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+    gray = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(gray))[:, :, 0], gray)
+
+    # top-down (negative height): flip the encoder's bottom-up payload
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    b = bytearray(mc.encode_bmp(img[::-1]))
+    b[22:26] = (-4).to_bytes(4, "little", signed=True)
+    assert np.array_equal(mc.decode_bmp(bytes(b)), img)
+
+    # 8-bit palette image built by hand
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(3, 4), dtype=np.uint8)
+    stride = (4 + 3) & ~3
+    rows = b"".join(bytes(idx[y]) + bytes(stride - 4) for y in range(2, -1, -1))
+    palette = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal)
+    hdr = (b"BM" + (14 + 40 + 16 + len(rows)).to_bytes(4, "little") + bytes(4)
+           + (14 + 40 + 16).to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + (4).to_bytes(4, "little") + (3).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+           + bytes(16) + (4).to_bytes(4, "little") + bytes(4))
+    assert np.array_equal(mc.decode_bmp(hdr + palette + rows), pal[idx])
+
+    with pytest.raises(ValueError, match="signature"):
+        mc.decode_bmp(b"XX" + mc.encode_bmp(img)[2:])
+    rle = bytearray(mc.encode_bmp(img))
+    rle[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        mc.decode_bmp(bytes(rle))
+    feats = mc.decode_features(mc.encode_bmp(img), "image/bmp")
+    assert feats is not None and feats.shape == (30,)

@@ -122,6 +122,21 @@ def cmd_kg(spark, args) -> int:
     return 0
 
 
+def cmd_graph(spark, args) -> int:
+    from yams_spark.operators.graph import bfs_traverse
+
+    edges = spark.read.parquet(args.edges)
+    seeds = spark.createDataFrame([(s,) for s in args.seeds], "node string")
+    out = bfs_traverse(
+        edges, seeds, max_depth=args.depth,
+        relation_col="relation" if args.relation else None,
+        relations=args.relation or None,
+        per_depth_cap=args.per_depth_cap,
+    )
+    _emit(out.orderBy("depth", "node"), args.limit)
+    return 0
+
+
 def cmd_route(spark, args) -> int:
     from yams_spark.operators.router import route_query
 
@@ -210,6 +225,15 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--pagerank-iters", type=int, default=5)
     common(k)
     k.set_defaults(fn=cmd_kg)
+
+    gr = sub.add_parser("graph", help="BFS over a (src,dst[,relation]) edge table")
+    gr.add_argument("seeds", nargs="+")
+    gr.add_argument("--edges", required=True)
+    gr.add_argument("--depth", type=int, default=2)
+    gr.add_argument("--relation", action="append")
+    gr.add_argument("--per-depth-cap", type=int, default=None)
+    gr.add_argument("--limit", type=int, default=50)
+    gr.set_defaults(fn=cmd_graph)
 
     rt = sub.add_parser("route", help="classify one query (intent/mode/community)")
     rt.add_argument("query")

@@ -306,6 +306,77 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+# ---------- BMP (BITMAPINFOHEADER, uncompressed) ----------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real BMP decode: BITMAPINFOHEADER (and larger V4/V5 variants),
+    uncompressed (BI_RGB) 24/32-bit BGR(A) and 8-bit paletted, 4-byte
+    row padding, bottom-up or top-down. Returns uint8 (h, w, 3)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM signature)")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hsize = int.from_bytes(payload[14:18], "little")
+    if hsize < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal_off = 14 + hsize
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, :w]
+        img = pal[rows]
+    elif bpp in (24, 32):
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        px = rows[:, : w * nb].reshape(h, w, nb)
+        img = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    else:
+        raise NotImplementedError(f"BMP {bpp}-bit not supported")
+    return np.ascontiguousarray(img if top_down else img[::-1])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB encoder — decode_bmp's oracle."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = arr[y][:, [2, 1, 0]].tobytes()
+        rows += line + bytes(stride - len(line))
+    header = (
+        b"BM"
+        + (14 + 40 + len(rows)).to_bytes(4, "little")
+        + bytes(4)
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + bytes(24)
+    )
+    return header + bytes(rows)
+
+
 # ---------- GIF (pure-Python LZW; GIF87a/89a, first frame) ----------
 
 
@@ -488,6 +559,7 @@ REAL_DECODABLE = {
     "image/png",
     "image/gif",
     "image/jpeg",
+    "image/bmp",
     "audio/wav",
     "audio/x-wav",
     "audio/flac",
@@ -507,6 +579,8 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray | None:
         return image_features(img)
     if mime == "image/gif":
         return image_features(decode_gif(payload))
+    if mime == "image/bmp":
+        return image_features(decode_bmp(payload))
     if mime == "image/jpeg":
         from yams_spark.functions.jpeg_codec import decode_jpeg
 
