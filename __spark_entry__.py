@@ -1934,6 +1934,92 @@ def er_mini_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ER_SEMANTIC_CACHE: dict[str, dict[str, DataFrame]] = {}
+
+
+def _er_semantic_outputs(spark: SparkSession) -> dict[str, DataFrame]:
+    """The er_semantic_mini pipeline run (sf-independent deterministic
+    corpus; see yams_spark/oracle/semantic_mini.py), cached per session."""
+    if "out" not in _ER_SEMANTIC_CACHE:
+        _ship_package(spark)
+        from yams_spark.oracle.semantic_mini import (
+            embedding_for,
+            semantic_mini_spec,
+        )
+        from yams_spark.plans.er_pipeline import PipelineConfig, run_pipeline
+
+        spec = semantic_mini_spec()
+        pages = spark.createDataFrame(
+            [
+                (p["url"], p["ts"], bytearray(p["html"].encode("utf-8")), None, "en")
+                for p in spec
+            ],
+            "url string, ts long, html binary, text string, lang string",
+        ).select(
+            "url",
+            F.timestamp_seconds("ts").alias("warc_ts"),
+            "html",
+            "text",
+            "lang",
+        )
+        pre = spark.createDataFrame(
+            [(p["url"], embedding_for(p)) for p in spec],
+            "url string, embedding array<float>",
+        )
+        out = run_pipeline(
+            spark,
+            pages,
+            PipelineConfig(families=("exact", "title")),
+            precomputed_embeddings=pre,
+        )
+        out["clusters"] = out["clusters"].persist()
+        out["members"] = out["members"].persist()
+        _ER_SEMANTIC_CACHE["out"] = out
+    return _ER_SEMANTIC_CACHE["out"]
+
+
+def er_semantic_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC-family ER, DuckDB-hash-verified end-to-end: the full
+    sign→block→pair→score→cluster DAG over a deterministic 48-page corpus
+    whose embeddings are 2-sparse float32 vectors hydrated through the
+    external-vector-store seam — so DuckDB recomputes the cosine
+    BIT-EXACTLY in closed form and independently re-derives the 0.92/0.975
+    acceptance gates, the 0.8·cos+0.15·title+0.05·path score
+    (dedupe.cpp:191-204), transitive closure (recursive CTE), keep-newest
+    canonical selection and the semantic group key (dedupe.cpp:279-287).
+    Unlike er_mini (exact family, cosine pinned at 1.0), every acceptance
+    branch fires here: auto-accept ≥0.975, overlap-gated mid-cosine,
+    overlap-missing reject, transitive-only members. Corpus/scenario
+    detail: yams_spark/oracle/semantic_mini.py."""
+    out = _er_semantic_outputs(spark)
+    return out["clusters"].select(
+        "group_key",
+        "canonical_url",
+        "member_count",
+        F.round("max_pair_score", 6).cast("double").alias("max_pair_score"),
+    )
+
+
+def er_semantic_mini_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-level semantic ER publication under the same SQL oracle:
+    roles, direct-canonical pair metrics (dedupe.cpp:324-337) — including
+    NULL similarity_to_canonical for members connected to the canonical
+    only transitively (their direct pair was gate-rejected), which the
+    exact-family er_mini can never exhibit."""
+    out = _er_semantic_outputs(spark)
+    return out["members"].select(
+        "group_key",
+        "url",
+        "role",
+        F.round("similarity_to_canonical", 6).cast("double").alias(
+            "similarity_to_canonical"
+        ),
+        F.round("title_overlap", 6).cast("double").alias("title_overlap"),
+        F.round("path_overlap", 6).cast("double").alias("path_overlap"),
+        F.round("pair_score", 6).cast("double").alias("pair_score"),
+    )
+
+
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC compressed ANN (the reference's default vector engine,
     vector_types.h:60-99; Jégou et al. 2011): train per-subspace codebooks
@@ -2166,6 +2252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     long-stable trivial oracles (q01-q08 class, green since round 1)
     rotate behind — they stay covered by tools/check_entry.py in CI."""
     return {
+        # --- round-5 additions: newest first, inside the driver window
+        "er_semantic_mini": er_semantic_mini,
+        "er_semantic_mini_members": er_semantic_mini_members,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -2715,7 +2804,14 @@ def oracle_sql() -> dict[str, str]:
         "list_sum(list_transform(list_zip({a}, {b}), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
     )
+    from yams_spark.oracle.semantic_mini import (
+        clusters_oracle_sql,
+        members_oracle_sql,
+    )
+
     return {
+        "er_semantic_mini": clusters_oracle_sql(),
+        "er_semantic_mini_members": members_oracle_sql(),
         "q01_list_scan_filters": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400

@@ -205,9 +205,22 @@ def _stage_timer():
 
 
 def run_pipeline(
-    spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | None = None
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig | None = None,
+    precomputed_embeddings: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Full ER pipeline. Returns every stage's DataFrame keyed by stage name."""
+    """Full ER pipeline. Returns every stage's DataFrame keyed by stage name.
+
+    ``precomputed_embeddings`` — optional ``(url, embedding)`` table that
+    hydrates embeddings from an external vector store instead of the
+    in-line feature-hash stand-in (the reference keeps embeddings in a
+    separate vector database keyed by document hash,
+    vector_database.cpp / EmbeddingService.cpp — at 100 TB you never
+    recompute vectors you already paid for). Rows without a precomputed
+    vector keep the computed one (left join + coalesce, broadcast-eligible
+    when the override table is small).
+    """
     cfg = cfg or PipelineConfig()
     out: dict[str, DataFrame] = {}
     mark = _stage_timer()
@@ -229,6 +242,18 @@ def run_pipeline(
         signatures = spark.read.parquet(_stage_path(cfg, "sign"))
     else:
         signatures = signatures_stage(pages, cfg.chunk_cfg, embed_fn=cfg.embed_fn)
+        if precomputed_embeddings is not None:
+            pre = precomputed_embeddings.select(
+                "url", F.col("embedding").alias("_pre_embedding")
+            )
+            signatures = (
+                signatures.join(pre, "url", "left")
+                .withColumn(
+                    "embedding",
+                    F.coalesce(F.col("_pre_embedding"), F.col("embedding")),
+                )
+                .drop("_pre_embedding")
+            )
         if cfg.checkpoint_dir is None:
             # several downstream branches (blocks, pair-feature joins,
             # cluster windows) would otherwise re-run the extraction UDF
