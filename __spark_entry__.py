@@ -1607,6 +1607,79 @@ def q72_entity_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_topology_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology-routed search: query→cluster route scoring
+    (SparseGuidedClusterRouter::route, topology_baseline.cpp:771-985;
+    session selection topology_routing_session.cpp:130-160). Clusters =
+    embedding labels with element-wise AVG centroids (computed in-plan,
+    posexplode → groupBy(pos) → avg); sparse mass = weighted seed docs
+    broadcast through the membership table; dense = clamp((cos(query,
+    centroid)+1)/2, 0, 1). All three scoring modes emitted with the
+    reference's exact constants (0.05 persistence, 0.05/0.05·size_damp,
+    0.10 dense) plus the per-route cost/penalty columns."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_routing import route_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    memberships = e.select(
+        F.col("vec_id").cast("string").alias("doc_hash"),
+        F.concat(F.lit("c"), F.col("label")).alias("cluster_id"),
+    )
+    cent = (
+        e.select(
+            F.concat(F.lit("c"), F.col("label")).alias("cluster_id"),
+            F.posexplode(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("pos", "val"),
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("cluster_id")
+        .agg(F.collect_list(F.struct("pos", "c")).alias("pairs"))
+        .select(
+            "cluster_id",
+            F.transform(F.array_sort("pairs"), lambda p: p["c"]).alias("centroid"),
+        )
+    )
+    # deterministic synthetic stability metrics (the route-score formula is
+    # what this entry verifies; real cohesion/persistence are produced by
+    # cluster_metrics and verified by its own pytest + rows entry)
+    stats = e.groupBy(F.concat(F.lit("c"), F.col("label")).alias("cluster_id")).agg(
+        F.count("*").alias("member_count")
+    ).withColumn(
+        "persistence",
+        (F.substring("cluster_id", 2, 2).cast("int") % 7).cast("double") / 10.0,
+    ).withColumn(
+        "cohesion",
+        ((F.substring("cluster_id", 2, 2).cast("int") % 5).cast("double") + 1.0) / 6.0,
+    )
+    clusters = stats.join(cent, "cluster_id")
+    qe = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    seeds = {str(i): 1.0 + (i % 3) * 0.5 for i in range(1, 13)}
+    parts = []
+    for mode in ("current", "size_weighted", "seed_coverage"):
+        r = route_clusters(
+            spark, clusters, memberships, query_embedding=qe,
+            weighted_seeds=seeds, alpha=0.6, scoring_mode=mode,
+        )
+        parts.append(r.withColumn("mode", F.lit(mode)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "mode",
+        "cluster_id",
+        F.round("route_score", 6).cast("double").alias("route_score"),
+        F.round("semantic_cost", 6).cast("double").alias("semantic_cost"),
+        F.round("sparse_cost", 6).cast("double").alias("sparse_cost"),
+        F.round("persistence_penalty", 6).cast("double").alias("persistence_penalty"),
+        F.round("cohesion_penalty", 6).cast("double").alias("cohesion_penalty"),
+        F.round("size_penalty", 6).cast("double").alias("size_penalty"),
+        "member_count",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 #: q69 synthetic query per document — identical SQL for Spark and DuckDB
 #: (concat/substring/CASE agree); exercises every routing branch
 _Q69_SYNTH = """
@@ -2255,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions: newest first, inside the driver window
         "er_semantic_mini": er_semantic_mini,
         "er_semantic_mini_members": er_semantic_mini_members,
+        "q73_topology_route": q73_topology_route,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -4065,6 +4139,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(score, 6) AS DOUBLE) AS score,
                    CAST(rk - 1 AS BIGINT) AS "rank"
             FROM r WHERE rk <= 100
+        """,
+        "q73_topology_route": """
+            WITH m AS (
+                SELECT CAST(vec_id AS VARCHAR) AS doc_hash,
+                       'c' || label AS cluster_id, label, embedding
+                FROM embeddings),
+            dims AS (
+                SELECT cluster_id,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM m),
+            cent AS (
+                SELECT cluster_id, pos, AVG(val) AS c
+                FROM dims GROUP BY cluster_id, pos),
+            qd AS (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings WHERE vec_id = 0),
+            qn AS (SELECT sqrt(SUM(val * val)) AS qnorm FROM qd),
+            cd AS (
+                SELECT cent.cluster_id, SUM(cent.c * qd.val) AS dot,
+                       sqrt(SUM(cent.c * cent.c)) AS cnorm
+                FROM cent JOIN qd USING (pos) GROUP BY cent.cluster_id),
+            dense AS (
+                SELECT cluster_id,
+                       LEAST(GREATEST(
+                           (dot / (cnorm * qn.qnorm) + 1.0) * 0.5, 0.0), 1.0)
+                           AS dense
+                FROM cd CROSS JOIN qn),
+            seeds(doc_hash, weight) AS (VALUES
+                ('1', 1.5), ('2', 2.0), ('3', 1.0), ('4', 1.5), ('5', 2.0),
+                ('6', 1.0), ('7', 1.5), ('8', 2.0), ('9', 1.0), ('10', 1.5),
+                ('11', 2.0), ('12', 1.0)),
+            mass AS (
+                SELECT m.cluster_id, SUM(s.weight) AS mass
+                FROM m JOIN seeds s USING (doc_hash) GROUP BY m.cluster_id),
+            mm AS (SELECT MAX(mass) AS maxmass FROM mass),
+            stats AS (
+                SELECT cluster_id, COUNT(*) AS member_count,
+                       CAST(label % 7 AS DOUBLE) / 10.0 AS persistence,
+                       (CAST(label % 5 AS DOUBLE) + 1.0) / 6.0 AS cohesion
+                FROM m GROUP BY cluster_id, label),
+            base AS (
+                SELECT st.cluster_id, st.member_count, st.persistence,
+                       st.cohesion, d.dense,
+                       CASE WHEN mm.maxmass > 0
+                            THEN COALESCE(ma.mass, 0.0) / mm.maxmass
+                            ELSE 0.0 END AS sparse_norm,
+                       1.0 / (1.0 + ln(1.0 + st.member_count)) AS size_damp
+                FROM stats st
+                JOIN dense d USING (cluster_id)
+                LEFT JOIN mass ma USING (cluster_id)
+                CROSS JOIN mm),
+            modes(mode) AS (VALUES
+                ('current'), ('size_weighted'), ('seed_coverage')),
+            scored AS (
+                SELECT mo.mode, b.cluster_id, b.member_count,
+                       CASE mo.mode
+                           WHEN 'size_weighted' THEN
+                               (0.6 * b.sparse_norm + 0.4 * b.dense
+                                + 0.05 * LEAST(GREATEST(b.persistence, 0.0), 1.0)
+                                + 0.05 * LEAST(GREATEST(b.cohesion, 0.0), 1.0))
+                               * b.size_damp
+                           WHEN 'seed_coverage' THEN
+                               b.sparse_norm + 0.10 * b.dense
+                               + b.persistence * 0.05
+                           ELSE 0.6 * b.sparse_norm + 0.4 * b.dense
+                                + b.persistence * 0.05
+                       END AS route_score,
+                       1.0 - b.dense AS semantic_cost,
+                       1.0 - b.sparse_norm AS sparse_cost,
+                       1.0 - LEAST(GREATEST(b.persistence, 0.0), 1.0)
+                           AS persistence_penalty,
+                       1.0 - LEAST(GREATEST(b.cohesion, 0.0), 1.0)
+                           AS cohesion_penalty,
+                       1.0 - b.size_damp AS size_penalty
+                FROM base b CROSS JOIN modes mo)
+            SELECT mode, cluster_id,
+                   CAST(ROUND(route_score, 6) AS DOUBLE) AS route_score,
+                   CAST(ROUND(semantic_cost, 6) AS DOUBLE) AS semantic_cost,
+                   CAST(ROUND(sparse_cost, 6) AS DOUBLE) AS sparse_cost,
+                   CAST(ROUND(persistence_penalty, 6) AS DOUBLE)
+                       AS persistence_penalty,
+                   CAST(ROUND(cohesion_penalty, 6) AS DOUBLE)
+                       AS cohesion_penalty,
+                   CAST(ROUND(size_penalty, 6) AS DOUBLE) AS size_penalty,
+                   CAST(member_count AS BIGINT) AS member_count,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY mode
+                       ORDER BY route_score DESC, cluster_id ASC) AS INTEGER)
+                       AS rk
+            FROM scored
         """,
         "q70_mab_stats": """
             WITH r AS (

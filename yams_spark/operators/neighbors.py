@@ -121,6 +121,7 @@ def hybrid_search(
     node_docs: DataFrame | None = None,
     enable_simeon: bool = False,
     kg_tables: dict | None = None,
+    route_gate: DataFrame | None = None,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
@@ -294,6 +295,18 @@ def hybrid_search(
                     embedding_df,
                 )
             )
+
+    # topology route gate (topology_routing_session.cpp:827-833: member-level
+    # search is confined to allowedDocumentHashes of the selected cluster
+    # routes) — a semi join keeps only routed candidates across EVERY
+    # component; build the gate with operators.topo_routing.routed_members
+    if route_gate is not None:
+        gate_col = "doc_id" if "doc_id" in route_gate.columns else "doc_hash"
+        components = components.join(
+            route_gate.select(F.col(gate_col).cast("string").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
 
     fused = fuse_evidence(components, weights=weights)
     if hotzone_df is not None and hotzone_weight > 0.0:
