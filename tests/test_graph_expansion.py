@@ -144,3 +144,30 @@ def test_hybrid_search_graph_sources(spark) -> None:
     # doc1 via text+graph; doc2 ONLY via the beta expansion term and the
     # graph_vector centroid — proves the graph sources feed fusion
     assert 1 in got and 2 in got
+
+
+def test_fuzzy_alias_fallback(spark) -> None:
+    """A misspelled query surface that misses exact alias lookup resolves
+    through the SymSpell fallback with the 0.8 discount
+    (graph_expansion.cpp:403-414); exact hits are never discounted."""
+    from yams_spark.operators.graph_expansion import graph_expansion_seeds
+
+    nodes, aliases, edges = _kg(spark)
+    # 'alpah' is 2 edits from 'alpha' (transposition); exact lookup misses
+    seeds = {r["node_key"]: r["seed_score"] for r in
+             graph_expansion_seeds("alpah", aliases, nodes).collect()}
+    # fuzzy: conf 1.0 ('Alpha'->alpha_norm) x 0.8 x span .6 = 0.48
+    assert seeds == {ALPHA: pytest.approx(0.48)}
+    # exact surface is NOT discounted and the fuzzy branch adds nothing
+    seeds = {r["node_key"]: r["seed_score"] for r in
+             graph_expansion_seeds("alpha", aliases, nodes).collect()}
+    assert seeds[ALPHA] == pytest.approx(0.6)
+    # the misspelled seed still expands to terms end-to-end
+    got = {r["term"]: r["score"] for r in
+           graph_expansion_terms("alpah", aliases, nodes, edges).collect()}
+    assert got["alpha"] == pytest.approx(0.36 * 0.8)
+    assert got["beta"] == pytest.approx(0.09 * 0.8)
+    # fuzzy_max_distance=0 restores exact-only behavior (no seeds)
+    assert graph_expansion_seeds(
+        "alpah", aliases, nodes, fuzzy_max_distance=0
+    ).count() == 0

@@ -19,9 +19,13 @@ surface→1.0 / lower→0.75 / acronym→0.70 (the analog of its
 gliner.surface/default/gliner.variant tiers,
 ``aliasSourceExpansionWeight`` :270-291); node types here are only
 'span' (weight 0.60, the default tier) and 'document' (0.0 — excluded,
-``graphNodeExpansionWeight`` :243-267); alias resolution is exact-match
-only (the fuzzy fallback needs SymSpell state the repo keeps in
-``functions/fuzzy`` — pluggable later).
+``graphNodeExpansionWeight`` :243-267); the label-search middle tier
+(:389-401) folds into exact resolution because this KG's node labels ARE
+alias surfaces. Query surfaces that miss exact alias lookup fall back to
+SymSpell fuzzy resolution with the reference's 0.8 score discount
+(:403-414; edit-distance bound ≤2 per symspell_search.cpp:25-29) — the
+miss test is a bounded collect of ≤96 scalars, so when every surface
+hits exactly the fuzzy branch contributes zero extra work or plan nodes.
 
 Scale shape: the query side is one bounded seed list (≤ max_seeds rows
 after an orderBy().limit()); every join fans out from it, so the whole
@@ -124,17 +128,34 @@ def _map_expr(col, mapping: dict[str, float], default: float):
     return expr
 
 
+FUZZY_ALIAS_DISCOUNT = 0.8  # graph_expansion.cpp:407 (alias.score * 0.8f)
+FUZZY_MAX_DISTANCE = 2  # symspell_search.cpp:25-29 edit-distance bound
+
+
 def graph_expansion_seeds(
     query: str,
     kg_aliases: DataFrame,
     kg_nodes: DataFrame,
     max_seeds: int = DEFAULT_MAX_SEEDS,
+    fuzzy_max_distance: int = FUZZY_MAX_DISTANCE,
+    aliases_per_term: int = max(4, DEFAULT_MAX_TERMS),
 ) -> DataFrame:
     """(node_key, seed_score): the expansion's seed nodes — exact alias
     hits of the query surfaces, scored confidence × node-type weight,
     top ``max_seeds`` (score desc, node asc). Shared by the term
     expansion (graph_text) and the seed-centroid vector leg
-    (graph_vector)."""
+    (graph_vector).
+
+    Query surfaces with NO exact alias hit fall back to SymSpell fuzzy
+    resolution (graph_expansion.cpp:403-414): candidate aliases within
+    ``fuzzy_max_distance`` edits (delete-variant join + Levenshtein
+    verify, operators/fuzzy.py), capped at ``aliases_per_term`` per
+    surface ordered (distance asc, confidence desc, node asc) — the
+    reference's aliasesPerTerm = max(4, maxTerms) — and scored with the
+    0.8 fuzzy discount. The exact/miss split is decided from a bounded
+    collect of which surfaces matched (≤96 scalars); a query whose
+    surfaces all hit exactly never touches the fuzzy branch.
+    """
     tokens = kg_query_tokens(query)
     if not tokens:
         raise ValueError("no query surfaces derivable for graph expansion")
@@ -142,20 +163,61 @@ def graph_expansion_seeds(
         "node_key",
         _map_expr(F.col("type"), NODE_TYPE_WEIGHTS, 0.60).alias("node_w"),
     )
+    al = kg_aliases.select(
+        "node_key", F.lower(F.col("alias")).alias("alias_norm"), "confidence"
+    )
+    exact = al.where(F.col("alias_norm").isin(tokens))
     seeds = (
-        kg_aliases.select(
-            "node_key", F.lower(F.col("alias")).alias("alias_norm"), "confidence"
-        )
-        .where(F.col("alias_norm").isin(tokens))
-        .join(ntype, "node_key")
+        exact.join(ntype, "node_key")
         .select(
             "node_key",
             (F.col("confidence") * F.col("node_w")).alias("seed_score"),
         )
         .where(F.col("seed_score") > 0)
-        .groupBy("node_key")
-        .agg(F.max("seed_score").alias("seed_score"))
     )
+
+    if fuzzy_max_distance > 0:
+        hit = {r["alias_norm"] for r in
+               exact.select("alias_norm").distinct().collect()}
+        missed = [t for t in tokens if t not in hit]
+        if missed:
+            from yams_spark.operators.fuzzy import symspell_match
+
+            spark = kg_aliases.sparkSession
+            queries = spark.createDataFrame(
+                [(t,) for t in missed], "query_term string"
+            )
+            vocab = al.select(F.col("alias_norm").alias("term")).distinct()
+            matches = symspell_match(
+                vocab, queries, max_distance=fuzzy_max_distance, freq_col=None
+            )
+            fuzzy = (
+                matches.join(al, al["alias_norm"] == matches["term"])
+                .withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy("query_term").orderBy(
+                            F.col("distance").asc(),
+                            F.col("confidence").desc(),
+                            F.col("node_key").asc(),
+                        )
+                    ),
+                )
+                .where(F.col("_rk") <= aliases_per_term)
+                .join(ntype, "node_key")
+                .select(
+                    "node_key",
+                    (
+                        F.col("confidence")
+                        * F.lit(FUZZY_ALIAS_DISCOUNT)
+                        * F.col("node_w")
+                    ).alias("seed_score"),
+                )
+                .where(F.col("seed_score") > 0)
+            )
+            seeds = seeds.unionByName(fuzzy)
+
+    seeds = seeds.groupBy("node_key").agg(F.max("seed_score").alias("seed_score"))
     return seeds.orderBy(
         F.col("seed_score").desc(), F.col("node_key").asc()
     ).limit(max_seeds)
