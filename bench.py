@@ -36,6 +36,14 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
      YAMS_BENCH_QUERY_RUNS (timed runs per operator query, default 2, min
        reported: decorrelates per-query timings from warm-order effects)
      YAMS_BENCH_SKIP_SCALING=1 (only the full-core run)
+     YAMS_BENCH_SKIP_CC=1 (skip the forced distributed-CC leg: one extra
+       full-core run with driver_cc_max_edges=0 so large-star/small-star
+       actually executes at measured scale; cluster-checksum equality vs
+       the default run is recorded)
+     YAMS_BENCH_SKIP_SKEW=1 (skip the blocking skew-stress leg: one extra
+       full-core run with a boilerplate family covering 5% of pages —
+       records hot-block size, salt fan-out, dropped-pair upper bound and
+       pair-stage partition max/median balance from the lineage metrics)
 """
 
 from __future__ import annotations
@@ -50,7 +58,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 _RUN_SNIPPET = """
-import sys, time, json, shutil
+import sys, time, json, shutil, statistics
 sys.path.insert(0, {repo!r})
 from yams_spark.session import get_spark
 from yams_spark.plans.er_pipeline import run_pipeline, PipelineConfig
@@ -64,24 +72,69 @@ def _wf(it):
 spark.range(0, 10000, 1, 2 * cores).mapInPandas(_wf, "id long").groupBy(
     (F.col("id") % 7).alias("k")).count().collect()
 pages = spark.read.parquet({pages_path!r})
+hot_fraction = {hot_fraction}
+if hot_fraction > 0:
+    # skew-stress variant: one boilerplate family covering hot_fraction of
+    # the corpus — every page byte-identical, so its text_hash / chunk /
+    # minhash / title keys all become ONE hot blocking key per family
+    from yams_spark.functions.html_extract import extract_text_from_html
+    hot_html = (b"<html><head><title>boilerplate hub page</title></head>"
+                b"<body>" + b"shared boilerplate navigation chrome " * 40
+                + b"</body></html>")
+    hot_text = extract_text_from_html(hot_html).decode()
+    n_hot = int(pages.count() * hot_fraction)
+    hot = spark.range(n_hot).select(
+        F.concat(F.lit("hot://"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("warc_ts"),
+        F.lit(hot_html).alias("html"), F.lit(hot_text).alias("text"),
+        F.lit("en").alias("lang"))
+    pages = pages.unionByName(hot)
 n_pages = pages.count()
 ckpt = f"/dev/shm/yams_bench_ckpt_{{cores}}"
 shutil.rmtree(ckpt, ignore_errors=True)
 t0 = time.time()
 # checkpointed run: stage outputs land in parquet (the durable path,
 # incl. lineage metrics) — faster and steadier than heap row caching
-out = run_pipeline(spark, pages, PipelineConfig(checkpoint_dir=ckpt))
+out = run_pipeline(spark, pages, PipelineConfig(
+    checkpoint_dir=ckpt, driver_cc_max_edges={cc_max_edges}))
 n_clusters = out["clusters"].count()
 n_members = out["members"].count()
 wall = time.time() - t0
-print("BENCH_RESULT " + json.dumps(
-    {{"wall": wall, "pages": n_pages, "clusters": n_clusters,
-      "members": n_members}}))
+# deterministic publication checksum: proves the distributed-CC leg (and
+# any repeat run) published IDENTICAL clusters, not just the same count
+chk = out["clusters"].agg(F.coalesce(F.expr(
+    "bit_xor(xxhash64(group_key, canonical_url, member_count))"),
+    F.lit(0)).alias("c")).collect()[0]["c"]
+res = {{"wall": wall, "pages": n_pages, "clusters": n_clusters,
+        "members": n_members, "clusters_checksum": chk,
+        "cc_stats": out.get("cc_stats")}}
+if hot_fraction > 0:
+    met = out["metrics"]
+    over = (met.where(F.col("stage") == "block_oversize")
+            .orderBy(F.col("rows_in").desc()).limit(5).collect())
+    pair_parts = sorted(r["rows_out"] for r in
+                        met.where(F.col("stage") == "pair").collect())
+    res["skew"] = {{
+        "hot_pages": n_hot,
+        "oversize_keys": len(over) and met.where(
+            F.col("stage") == "block_oversize").count(),
+        "hot_block_size": over[0]["rows_in"] if over else 0,
+        "hot_block_n_salt": over[0]["rows_out"] if over else 0,
+        "dropped_pairs_upper_bound": sum(
+            r["pair_count"] for r in met.where(
+                F.col("stage") == "block_oversize").collect()),
+        "pair_partition_max": pair_parts[-1] if pair_parts else 0,
+        "pair_partition_median": (
+            statistics.median(pair_parts) if pair_parts else 0),
+    }}
+print("BENCH_RESULT " + json.dumps(res))
 spark.stop()
 """
 
 
-def _pipeline_subprocess(cores: int, pages_path: str) -> dict:
+def _pipeline_subprocess(
+    cores: int, pages_path: str, cc_max_edges: int = -1, hot_fraction: float = 0.0
+) -> dict:
     env = dict(os.environ)
     env.setdefault("OMP_NUM_THREADS", "1")
     env.setdefault("OPENBLAS_NUM_THREADS", "1")
@@ -93,7 +146,8 @@ def _pipeline_subprocess(cores: int, pages_path: str) -> dict:
     os.makedirs("/dev/shm/yams_spark_local", exist_ok=True)
     env.setdefault("YAMS_SPARK_LOCAL_DIR", "/dev/shm/yams_spark_local")
     code = _RUN_SNIPPET.format(repo=_REPO, cores=cores, pages_path=pages_path,
-                                shuffle_parts=16)
+                                shuffle_parts=16, cc_max_edges=cc_max_edges,
+                                hot_fraction=hot_fraction)
     last_err = ""
     for attempt in (1, 2):  # one retry: local-mode python workers are
         # occasionally killed by the sandbox (Arrow socket reset) — a
@@ -176,6 +230,17 @@ def main() -> None:
             "pages_per_sec_small": round(thr_s, 2),
             "pages_per_sec_large": round(thr_l, 2),
             "efficiency": round(thr_l / (thr_s * (large / small)), 4),
+            # why 2->8 and not 8->32 on this box: the byte-churn kernels
+            # (extraction/sketching) saturate DRAM bandwidth past ~8 local
+            # cores — plain multiprocessing with ZERO framework overhead
+            # measures only ~1.5-1.8x going 8->32 here, so 2->8 is the
+            # honest N->4N pair this single machine can express. Measured
+            # numbers + methodology: BENCH/BASELINE.md "scaling legs".
+            "cores_note": (
+                "2->8 chosen because 8->32 is DRAM-bandwidth-bound on this "
+                "host (plain-multiprocessing control: ~1.5-1.8x for 4x "
+                "cores, zero Spark overhead); see BENCH/BASELINE.md"
+            ),
         }
 
     # headline leg is also best-of-2: one fresh-JVM run swings ±10-15% on
@@ -188,6 +253,41 @@ def main() -> None:
             r_full = r2
     queries[f"er_pipeline_local{cpus}"] = round(r_full["wall"], 3)
     thr_full = r_full["pages"] / r_full["wall"]
+
+    # --- distributed-CC leg (VERDICT r4 ask #2): force the large-star /
+    # small-star path (driver_cc_max_edges=0) on the SAME corpus and prove
+    # the published clusters are identical via the deterministic checksum.
+    cc_distributed: dict = {}
+    if os.environ.get("YAMS_BENCH_SKIP_CC") != "1":
+        r_cc = _pipeline_subprocess(cpus, pages_path, cc_max_edges=0)
+        cc_distributed = {
+            "wall": round(r_cc["wall"], 3),
+            "wall_default": round(r_full["wall"], 3),
+            "cc_rounds": (r_cc.get("cc_stats") or {}).get("rounds"),
+            "edges_initial": (r_cc.get("cc_stats") or {}).get("edges_initial"),
+            "clusters": r_cc["clusters"],
+            "clusters_equal_default": (
+                r_cc["clusters"] == r_full["clusters"]
+                and r_cc["clusters_checksum"] == r_full["clusters_checksum"]
+            ),
+        }
+
+    # --- blocking skew-stress leg (VERDICT r4 ask #3): add a boilerplate
+    # family covering 5% of the corpus (one white-hot blocking key per
+    # family); salting must keep the pair stage balanced and report the
+    # truncation in lineage, never silently.
+    skew_stress: dict = {}
+    if os.environ.get("YAMS_BENCH_SKIP_SKEW") != "1":
+        r_skew = _pipeline_subprocess(cpus, pages_path, hot_fraction=0.05)
+        sk = r_skew.get("skew") or {}
+        med = sk.get("pair_partition_median") or 0
+        skew_stress = {
+            "wall": round(r_skew["wall"], 3),
+            **sk,
+            "pair_balance_max_over_median": (
+                round(sk.get("pair_partition_max", 0) / med, 2) if med else None
+            ),
+        }
 
     # headline operator queries at full cores (fresh session)
     import __spark_entry__ as entrymod
@@ -228,6 +328,8 @@ def main() -> None:
         "clusters": r_full["clusters"],
         "docs_per_sec": round(thr_full, 2),
         "scaling": scaling,
+        "cc_distributed": cc_distributed,
+        "skew_stress": skew_stress,
     }
     print(json.dumps(result))
 

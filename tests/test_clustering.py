@@ -60,3 +60,18 @@ def test_cc_chain_and_cycle(spark) -> None:
         "e": "e", "f": "e", "g": "e",
         "h": "h", "i": "h",
     }
+
+
+def test_cc_stats_and_config_plumbing(spark) -> None:
+    """cc stats report mode/rounds/edges; PipelineConfig.driver_cc_max_edges
+    reaches connected_components (the bench's distributed-CC forcing knob)."""
+    edges = [("b", "a"), ("c", "b"), ("d", "c"), ("f", "e")]
+    df = spark.createDataFrame(edges, ["url_a", "url_b"])
+    s: dict = {}
+    connected_components(df, stats=s).collect()
+    assert s == {"edges_initial": 4, "rounds": 0, "mode": "driver"}
+    s = {}
+    got = {r["url"]: r["component"]
+           for r in connected_components(df, driver_max_edges=0, stats=s).collect()}
+    assert s["mode"] == "distributed" and s["rounds"] >= 1
+    assert got["d"] == "a" and got["f"] == "e"

@@ -110,6 +110,7 @@ def connected_components(
     dst: str = "url_b",
     max_iter: int = 50,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges -> (url, component) where component = min url in the component.
 
@@ -119,17 +120,28 @@ def connected_components(
     computes the convergence signature and the driver-finish gate (an
     eager checkpoint plus a separate signature job would double the fixed
     per-round latency).
+
+    ``driver_max_edges=0`` disables the driver union-find entirely — the
+    star rounds run to convergence (the pure 10^12-scale path; the bench
+    forces this once per round to time it, VERDICT r4 ask #2). ``stats``
+    (optional dict) is filled with {mode, rounds, edges_initial} for
+    bench/lineage reporting.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
     ).distinct()
     e = e.localCheckpoint(eager=False)
 
-    if driver_max_edges and e.count() <= driver_max_edges:
+    n0 = e.count()
+    if stats is not None:
+        stats["edges_initial"] = n0
+        stats["rounds"] = 0
+        stats["mode"] = "driver"
+    if driver_max_edges and n0 <= driver_max_edges:
         return _driver_union_find(e)
 
     prev_sig = None
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         e = _large_star(e)
         e = _small_star(e)
         e = e.localCheckpoint(eager=False)
@@ -137,15 +149,21 @@ def connected_components(
             F.count("*").alias("cnt"),
             F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("chk"),
         ).collect()[0]
+        if stats is not None:
+            stats["rounds"] = rnd + 1
         # star rounds preserve both connectivity and the endpoint set, so
         # once the contracted graph fits the driver budget the tail is a
         # single union-find instead of more O(log n) two-shuffle rounds
         if driver_max_edges and sig_row["cnt"] <= driver_max_edges:
+            if stats is not None:
+                stats["mode"] = "hybrid"
             return _driver_union_find(e)
         sig = (sig_row["cnt"], sig_row["chk"])
         if sig == prev_sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats["mode"] = "distributed"
 
     # converged star edges: src node -> dst root; roots label themselves
     labels = e.select(F.col("src").alias("url"), F.col("dst").alias("component"))
@@ -163,6 +181,8 @@ def clusters_stage(
     threshold: float = 0.92,
     strategy: str = "keep-newest",
     max_component_docs: int | None = None,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
+    cc_stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Publish (clusters, members) mirroring semantic_duplicate_groups /
     _members (migration.cpp:2598-2663; trace dedupe.cpp:217-350).
@@ -182,7 +202,9 @@ def clusters_stage(
     """
     import pandas as pd
 
-    labels = connected_components(accepted_pairs)
+    labels = connected_components(
+        accepted_pairs, driver_max_edges=driver_cc_max_edges, stats=cc_stats
+    )
     if max_component_docs is not None:
         labels = split_oversized_components(
             labels, accepted_pairs, max_component_docs

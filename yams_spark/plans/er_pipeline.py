@@ -57,6 +57,10 @@ class PipelineConfig:
     max_component_docs: int | None = None
     #: blocking-key families (shared contract, operators/signatures.py)
     families: tuple[str, ...] = DEFAULT_FAMILIES
+    #: transitive-closure driver-finish gate (clustering.DRIVER_CC_MAX_EDGES);
+    #: 0 forces the pure distributed large-star/small-star path — the bench
+    #: runs that once per round to time it at measured scale
+    driver_cc_max_edges: int = -1  # -1 = library default
     chunk_cfg: ChunkingConfig = field(default_factory=lambda: PAGE_CHUNKING)
     #: real-embedding-model seam (embedding_generator.cpp:386-407): a
     #: picklable ``list[str] -> vectors`` batch callable; None keeps the
@@ -345,10 +349,20 @@ def run_pipeline(
         clusters = spark.read.parquet(_stage_path(cfg, "cluster_groups"))
         members = spark.read.parquet(_stage_path(cfg, "cluster_members"))
     else:
+        from yams_spark.operators.clustering import DRIVER_CC_MAX_EDGES
+
+        cc_stats: dict = {}
         clusters, members = clusters_stage(
             signatures, accepted, cfg.threshold, cfg.strategy,
             max_component_docs=cfg.max_component_docs,
+            driver_cc_max_edges=(
+                DRIVER_CC_MAX_EDGES
+                if cfg.driver_cc_max_edges < 0
+                else cfg.driver_cc_max_edges
+            ),
+            cc_stats=cc_stats,
         )
+        out["cc_stats"] = cc_stats
         clusters = _commit_stage(spark, cfg, "cluster_groups", clusters)
         members = _commit_stage(spark, cfg, "cluster_members", members)
         _append_metrics(cfg, _partition_metrics(clusters, cfg.run_id, "cluster_groups"))
