@@ -564,6 +564,11 @@ REAL_DECODABLE = {
     "audio/x-wav",
     "audio/flac",
     "audio/x-flac",
+    # MPEG-1 Layer I/II sample decode (functions/mpeg_audio); a Layer III
+    # payload under these mimes raises NotImplementedError (the strict
+    # boundary) — its header/duration metadata still parses
+    "audio/mpeg",
+    "audio/mp2",
 }
 
 
@@ -593,4 +598,9 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray | None:
         samples, rate = decode_flac(payload)
         mono = samples.mean(axis=1) / 32768.0  # 16-bit full scale
         return audio_features(mono.astype(np.float64), rate)
+    if mime in ("audio/mpeg", "audio/mp2"):
+        from yams_spark.functions.mpeg_audio import decode_mpeg_audio
+
+        samples, rate = decode_mpeg_audio(payload)  # float, (n, nch)
+        return audio_features(samples.mean(axis=1), rate)
     return None

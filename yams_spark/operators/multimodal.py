@@ -199,13 +199,21 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
         elif kind == "audio":
             t = np.arange(800) / 8000.0
             tone = 0.5 * np.sin(2 * np.pi * (200 + 40 * i) * t)
-            if i % 6 == 1:  # alternate the two REAL audio codecs
+            if i % 6 == 1:  # rotate the three REAL audio codecs
                 from yams_spark.functions.flac_codec import encode_flac
 
                 payload = encode_flac(
                     (tone * 32767).astype(np.int32), rate=8000
                 )
                 mime = "audio/flac"
+            elif i % 6 == 4:
+                from yams_spark.functions.mpeg_audio import encode_layer2
+
+                t2 = np.arange(1152 * 2) / 44100.0
+                payload = encode_layer2(
+                    0.5 * np.sin(2 * np.pi * (300 + 60 * i) * t2), 44100, 192
+                )
+                mime = "audio/mpeg"
             else:
                 payload, mime = encode_wav(tone, rate=8000), "audio/wav"
             width, height, duration = None, None, None
