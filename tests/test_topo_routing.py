@@ -223,3 +223,20 @@ def test_hybrid_search_route_gate(spark):
     ).collect()
     assert {r["doc_id"] for r in gated} <= {"1", "3"}
     assert len(gated) == 2
+
+
+def test_route_hotzone_boost(spark):
+    """route_score' = score * (1 + w*(boost-1)) for hot clusters; missing
+    clusters default to boost 1 (no change)."""
+    clusters, mem = _mk_clusters(spark)
+    hz = spark.createDataFrame([("c1", 1.8)], "cluster_id string, boost double")
+    base = {r["cluster_id"]: r["route_score"] for r in route_clusters(
+        spark, clusters, mem, query_embedding=[1.0, 0.0, 0.0],
+        weighted_seeds={"d0": 1.0}, alpha=0.5).collect()}
+    boosted = {r["cluster_id"]: r["route_score"] for r in route_clusters(
+        spark, clusters, mem, query_embedding=[1.0, 0.0, 0.0],
+        weighted_seeds={"d0": 1.0}, alpha=0.5,
+        hotzone=hz, hotzone_weight=0.5).collect()}
+    assert boosted["c1"] == pytest.approx(base["c1"] * (1 + 0.5 * 0.8))
+    assert boosted["c0"] == pytest.approx(base["c0"])
+    assert boosted["c2"] == pytest.approx(base["c2"])

@@ -553,6 +553,32 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return header + imgdesc + bytes([mcs]) + bytes(blocks) + b"\x3b"
 
 
+VIDEO_FEATURE_FRAME_STATS = 4  # mean, std, min, max luminance per clip
+
+
+def video_features(frames) -> np.ndarray:
+    """Temporal features over decoded frames: clip luminance stats,
+    mean inter-frame difference energy (motion proxy), frame count, and
+    an 8-bin luminance histogram of the middle frame. float32."""
+    if not frames:
+        return np.zeros(VIDEO_FEATURE_FRAME_STATS + 2 + 8, dtype=np.float32)
+    luma = [np.asarray(f, dtype=np.float64).mean(axis=2) for f in frames]
+    means = np.array([l.mean() for l in luma])
+    diffs = (
+        np.array([np.abs(a - b).mean() for a, b in zip(luma, luma[1:])])
+        if len(luma) > 1
+        else np.zeros(1)
+    )
+    mid = luma[len(luma) // 2]
+    hist, _ = np.histogram(mid, bins=8, range=(0, 256))
+    hist = hist / max(1, mid.size)
+    return np.asarray(
+        [means.mean(), means.std(), means.min(), means.max(),
+         float(diffs.mean()), float(len(frames)), *hist.tolist()],
+        dtype=np.float32,
+    )
+
+
 REAL_DECODABLE = {
     "image/x-portable-pixmap",
     "image/x-portable-graymap",
@@ -603,4 +629,20 @@ def decode_features(payload: bytes, mime: str) -> np.ndarray | None:
 
         samples, rate = decode_mpeg_audio(payload)  # float, (n, nch)
         return audio_features(samples.mean(axis=1), rate)
+    if mime == "video/mp4":
+        from yams_spark.functions.mp4_meta import (
+            MJPEG_CODECS,
+            decode_mjpeg_frames,
+            extract_samples,
+        )
+
+        # real pixel decode only for MJPEG tracks; other codecs fall back
+        # to the caller's stub/strict path (return None)
+        try:
+            tracks = extract_samples(payload, "vide")
+        except ValueError:
+            return None
+        if any(t["samples"] and t["codec"] in MJPEG_CODECS for t in tracks):
+            return video_features(decode_mjpeg_frames(payload))
+        return None
     return None

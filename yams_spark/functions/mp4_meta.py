@@ -121,7 +121,108 @@ def _parse_trak(payload: bytes, start: int, end: int) -> dict:
                                     track["codec"] = payload[
                                         tbody + 12 : tbody + 16
                                     ].decode("ascii", "replace")
+                            elif ttype == b"stsz":
+                                fixed = int.from_bytes(
+                                    payload[tbody + 4 : tbody + 8], "big")
+                                cnt = int.from_bytes(
+                                    payload[tbody + 8 : tbody + 12], "big")
+                                if fixed:
+                                    track["sample_sizes"] = [fixed] * cnt
+                                else:
+                                    track["sample_sizes"] = [
+                                        int.from_bytes(
+                                            payload[tbody + 12 + 4 * i :
+                                                    tbody + 16 + 4 * i], "big")
+                                        for i in range(cnt)
+                                    ]
+                            elif ttype == b"stco":
+                                cnt = int.from_bytes(
+                                    payload[tbody + 4 : tbody + 8], "big")
+                                track["chunk_offsets"] = [
+                                    int.from_bytes(
+                                        payload[tbody + 8 + 4 * i :
+                                                tbody + 12 + 4 * i], "big")
+                                    for i in range(cnt)
+                                ]
+                            elif ttype == b"stsc":
+                                cnt = int.from_bytes(
+                                    payload[tbody + 4 : tbody + 8], "big")
+                                track["stsc"] = [
+                                    tuple(
+                                        int.from_bytes(
+                                            payload[tbody + 8 + 12 * i + 4 * j :
+                                                    tbody + 12 + 12 * i + 4 * j],
+                                            "big")
+                                        for j in range(3)
+                                    )
+                                    for i in range(cnt)
+                                ]
     return track
+
+
+def extract_samples(payload: bytes, kind: str = "vide") -> list[dict]:
+    """Per matching track: {codec, samples: list[bytes]} — the real
+    sample extraction walk (ISO 14496-12 §8.7): stsc maps samples to
+    chunks, stco gives chunk file offsets, stsz sizes each sample;
+    samples are contiguous within a chunk."""
+    meta = parse_mp4(payload)
+    out = []
+    for t in meta["tracks"]:
+        if t.get("kind") != kind or not t.get("sample_sizes"):
+            continue
+        sizes = t["sample_sizes"]
+        offsets = t.get("chunk_offsets") or []
+        stsc = t.get("stsc") or [(1, len(sizes), 1)]
+        samples: list[bytes] = []
+        si = 0
+        for ci, chunk_off in enumerate(offsets, start=1):
+            per_chunk = None
+            for first, spc, _ in stsc:
+                if ci >= first:
+                    per_chunk = spc
+            if per_chunk is None:
+                break
+            pos = chunk_off
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                samples.append(payload[pos : pos + sizes[si]])
+                pos += sizes[si]
+                si += 1
+        out.append({"codec": t.get("codec"), "samples": samples})
+    return out
+
+
+MJPEG_CODECS = {"mjpa", "mjpb", "jpeg"}
+
+
+def decode_mjpeg_frames(payload: bytes, max_frames: int | None = None):
+    """REAL video pixel decode for Motion-JPEG tracks: each sample is a
+    baseline JPEG image decoded by ``functions/jpeg_codec``. Returns a
+    list of (h, w, 3) uint8 frames. Non-MJPEG video codecs (avc1/hevc —
+    entropy-coded inter-frame formats with no dependency-free codec
+    here) raise NotImplementedError, the documented strict boundary."""
+    tracks = [
+        t for t in extract_samples(payload, "vide") if t["samples"]
+    ]
+    if not tracks:
+        meta = parse_mp4(payload)
+        vids = [t for t in meta["tracks"] if t.get("kind") == "vide"]
+        codec = vids[0].get("codec") if vids else None
+        raise NotImplementedError(
+            f"no decodable video samples (codec {codec!r}); pixel decode "
+            "is real only for MJPEG tracks"
+        )
+    t = tracks[0]
+    if t["codec"] not in MJPEG_CODECS:
+        raise NotImplementedError(
+            f"video codec {t['codec']!r} sample decode is the documented "
+            "strict boundary; MJPEG tracks decode for real"
+        )
+    from yams_spark.functions.jpeg_codec import decode_jpeg
+
+    samples = t["samples"][:max_frames] if max_frames else t["samples"]
+    return [decode_jpeg(s) for s in samples]
 
 
 # ---------- structural builder (the parser's oracle) ----------
@@ -142,10 +243,14 @@ def build_mp4(
     brand: str = "isom",
     use_64bit: bool = False,
 ) -> bytes:
-    """Minimal structural MP4: ftyp + moov(mvhd + trak*). Each track
-    dict: kind ('vide'/'soun'), codec fourcc, width, height,
-    duration_ms. ``use_64bit`` emits version-1 mvhd/mdhd (64-bit
-    durations) to exercise both parse paths."""
+    """Minimal structural MP4: ftyp [+ mdat] + moov(mvhd + trak*). Each
+    track dict: kind ('vide'/'soun'), codec fourcc, width, height,
+    duration_ms, and optionally ``samples`` (list[bytes]) — real media
+    payloads laid out as one contiguous mdat chunk with full
+    stsz/stsc/stco/stts sample tables (ISO 14496-12 §8.7), mdat-first so
+    chunk offsets are known before moov is built. ``use_64bit`` emits
+    version-1 mvhd/mdhd (64-bit durations) to exercise both parse
+    paths."""
     tracks = tracks if tracks is not None else [
         {"kind": "vide", "codec": "avc1", "width": 640, "height": 360,
          "duration_ms": duration_ms},
@@ -157,8 +262,23 @@ def build_mp4(
     else:
         mvhd = _full(b"mvhd", 0, struct.pack(
             ">IIII", 0, 0, timescale, dur) + bytes(80))
-    trak_boxes = b""
+
+    # mdat-first layout: concatenate every track's samples into one mdat
+    # and remember each track's chunk offset (absolute file position)
+    ftyp = _box(b"ftyp", brand.encode() + struct.pack(">I", 0) + brand.encode())
+    mdat_body = b""
+    chunk_offsets: list[int | None] = []
     for t in tracks:
+        samples = t.get("samples")
+        if samples:
+            chunk_offsets.append(len(ftyp) + 8 + len(mdat_body))
+            mdat_body += b"".join(samples)
+        else:
+            chunk_offsets.append(None)
+    mdat = _box(b"mdat", mdat_body) if mdat_body else b""
+
+    trak_boxes = b""
+    for t, chunk_off in zip(tracks, chunk_offsets):
         tkhd = _full(b"tkhd", 0, bytes(72) + struct.pack(
             ">HHHH", t.get("width") or 0, 0, t.get("height") or 0, 0))
         tdur = (t.get("duration_ms") or 0) * timescale // 1000
@@ -169,10 +289,23 @@ def build_mp4(
         hdlr = _full(b"hdlr", 0, bytes(4) + t["kind"].encode() + bytes(12) + b"\x00")
         entry = _box(t["codec"].encode(), bytes(70))
         stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
-        stbl = _box(b"stbl", stsd)
+        stbl_body = stsd
+        samples = t.get("samples")
+        if samples:
+            n = len(samples)
+            delta = max(1, tdur // n)
+            stts = _full(b"stts", 0, struct.pack(">III", 1, n, delta))
+            stsc = _full(b"stsc", 0, struct.pack(">IIII", 1, 1, n, 1))
+            stsz = _full(
+                b"stsz", 0,
+                struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(s)) for s in samples),
+            )
+            stco = _full(b"stco", 0, struct.pack(">II", 1, chunk_off))
+            stbl_body += stts + stsc + stsz + stco
+        stbl = _box(b"stbl", stbl_body)
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         trak_boxes += _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak_boxes)
-    ftyp = _box(b"ftyp", brand.encode() + struct.pack(">I", 0) + brand.encode())
-    return ftyp + moov
+    return ftyp + mdat + moov

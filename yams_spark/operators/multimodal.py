@@ -219,17 +219,35 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
             width, height, duration = None, None, None
         else:
             # REAL structural MP4 container (box tree parses for true
-            # metadata); frame payloads remain absent — the pixel decode
-            # is the strict-mode boundary
+            # metadata). Every third video row is a Motion-JPEG track
+            # with real JPEG frame samples in mdat (+ full stsz/stco
+            # tables) — REAL pixel decode; avc1 rows keep the documented
+            # strict boundary (inter-frame codecs)
             from yams_spark.functions.mp4_meta import build_mp4
 
             duration = (i + 1) * 750
             width, height = 320 + 16 * (i % 4), 240 + 16 * (i % 4)
+            if i % 9 == 5:
+                from yams_spark.functions.jpeg_codec import encode_jpeg
+
+                fw = fh_ = 16
+                frames = []
+                for fidx in range(3):
+                    img = (
+                        (np.arange(fh_ * fw * 3, dtype=np.int64)
+                         * (i + 2 + fidx * 7)) % 256
+                    ).astype(np.uint8).reshape(fh_, fw, 3)
+                    frames.append(encode_jpeg(img, quality=85))
+                vide = {"kind": "vide", "codec": "jpeg", "width": fw,
+                        "height": fh_, "duration_ms": duration,
+                        "samples": frames}
+            else:
+                vide = {"kind": "vide", "codec": "avc1", "width": width,
+                        "height": height, "duration_ms": duration}
             payload = build_mp4(
                 duration_ms=duration,
                 tracks=[
-                    {"kind": "vide", "codec": "avc1", "width": width,
-                     "height": height, "duration_ms": duration},
+                    vide,
                     {"kind": "soun", "codec": "mp4a", "width": 0,
                      "height": 0, "duration_ms": duration},
                 ],

@@ -81,6 +81,8 @@ def route_clusters(
     limit: int = 0,
     representatives: DataFrame | None = None,
     representative_limit: int = 1,
+    hotzone: DataFrame | None = None,
+    hotzone_weight: float = 0.0,
 ) -> DataFrame:
     """clusters (cluster_id, member_count, persistence, cohesion, centroid
     [, medoid_hash]) × memberships (doc_hash, cluster_id) → scored routes.
@@ -96,6 +98,13 @@ def route_clusters(
     (topology_baseline.cpp:893-921). ``alpha`` blends sparse seed mass
     with the dense signal; ``alpha >= 1`` skips the dense computation
     entirely, exactly like the reference (:871, :889).
+
+    ``hotzone`` (cluster_id, boost in [1, 2]) composes the repo's
+    recency-boost surface (streaming/hotzone.py, hotzone_manager.h:15-59)
+    onto routing the same way hybrid_search applies it to fused scores:
+    route_score' = route_score · (1 + hotzone_weight · (boost − 1)).
+    The reference keeps hotzones in the member-level rescorer only; this
+    cluster-level composition is the stated extension.
     """
     if scoring_mode not in ROUTE_SCORING_MODES:
         raise ValueError(f"scoring_mode must be one of {ROUTE_SCORING_MODES}")
@@ -186,6 +195,16 @@ def route_clusters(
         )
     else:
         score = blended + F.col("persistence") * 0.05
+
+    if hotzone is not None and hotzone_weight > 0.0:
+        out = out.join(
+            F.broadcast(hotzone.select("cluster_id", "boost")), "cluster_id", "left"
+        )
+        score = score * (
+            1.0
+            + F.lit(float(hotzone_weight))
+            * (F.coalesce(F.col("boost"), F.lit(1.0)) - 1.0)
+        )
 
     scored = out.select(
         "cluster_id",
