@@ -2156,12 +2156,12 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize over the deterministic synthetic media
-    table: REAL codecs for PPM/PNG images (pixel decode, channel stats +
-    histograms) and PCM16 WAV (sample decode, RMS/ZCR/FFT bands) — only
-    formats with no codec in this container (mp4) use the documented
-    deterministic stand-in. No DuckDB oracle (binary codecs aren't SQL);
-    pytest pins byte-exact encode/decode round-trips and signal-content
-    features."""
+    table: REAL codecs for PPM/PNG/GIF/JPEG/BMP images, PCM16 WAV / FLAC /
+    MPEG-1 Layer II audio, and Motion-JPEG MP4 video (frame samples through
+    the JPEG codec + temporal features) — only inter-frame video codecs
+    (avc1) use the documented deterministic stand-in. No DuckDB oracle
+    (binary codecs aren't SQL); pytest pins encode/decode round-trips and
+    signal-content features."""
     _ship_package(spark)
     from yams_spark.operators.multimodal import extract_media_features, synth_media_table
 

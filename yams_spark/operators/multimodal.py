@@ -2,15 +2,18 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct. The
 Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested, and the decode step is REAL for the
-formats a dependency-free environment can decode — netpbm PPM/PGM images
-and PCM16 WAV audio (``functions/media_codecs``: header parse, pixel /
-sample decode, resize, histogram / FFT features, all numpy+stdlib).
-Formats whose codecs genuinely don't exist here (jpeg/png/mp4) either
-raise ``NotImplementedError`` (strict mode) or produce a deterministic
-fake feature (test mode). This mirrors the reference's plugin extractor
-boundary (src/extraction/external_plugin_extractor.cpp): the engine
-defines the dataflow, the codec is a pluggable worker-side function.
+signatures) is real and tested, and the decode step is REAL for every
+format with a from-scratch codec in this repo — PPM/PGM, PNG, GIF, JPEG,
+BMP images; PCM16 WAV, FLAC, MPEG-1 Layer I/II audio; Motion-JPEG MP4
+video frames (``functions/media_codecs`` + ``jpeg_codec`` /
+``flac_codec`` / ``mpeg_audio`` / ``mp4_meta``). The remaining strict
+boundaries — MP3 (Layer III) sample decode and inter-frame video codecs
+(avc1/hevc) — either raise ``NotImplementedError`` (strict mode) or
+produce a deterministic fake feature (test mode), while their
+container/header metadata still parses for real. This mirrors the
+reference's plugin extractor boundary
+(src/extraction/external_plugin_extractor.cpp): the engine defines the
+dataflow, the codec is a pluggable worker-side function.
 """
 
 from __future__ import annotations
