@@ -50,21 +50,26 @@ def test_container_metadata_spark_pass(spark) -> None:
     meta = {r["media_id"]: r for r in
             extract_container_metadata(media).collect()}
     vids = [m for m in meta.values() if m["brand"] is not None]
-    # every video row parses: 2 tracks, avc1, the synthesized dims
+    # every video row parses: 2 tracks, avc1 (or the rotated-in MJPEG
+    # rows with their small real-frame dims), the synthesized durations
     assert len(vids) == 8  # kinds rotate image/audio/video over 24 rows
+    assert {v["video_codec"] for v in vids} == {"avc1", "jpeg"}
     for v in vids:
-        assert v["n_tracks"] == 2 and v["video_codec"] == "avc1"
-        assert v["width"] >= 320 and v["height"] >= 240
+        assert v["n_tracks"] == 2
+        if v["video_codec"] == "avc1":
+            assert v["width"] >= 320 and v["height"] >= 240
+        else:
+            assert v["width"] == 16 and v["height"] == 16
         assert v["duration_ms"] and v["duration_ms"] % 750 == 0
     # image/audio rows yield nulls (not MP4)
     assert any(m["brand"] is None for m in meta.values())
-    # pixel decode is still honestly stubbed for video
+    # MJPEG rows now decode pixels for REAL; avc1 stays honestly stubbed
     from yams_spark.operators.multimodal import extract_media_features
 
     feats = {r["media_id"]: r for r in
              extract_media_features(media).collect()}
-    assert all(not feats[m["media_id"]]["decoded"]
-               for m in vids)
+    for v in vids:
+        assert feats[v["media_id"]]["decoded"] == (v["video_codec"] == "jpeg")
 
 
 def test_sample_tables_roundtrip_and_mjpeg_decode():

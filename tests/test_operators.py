@@ -219,13 +219,19 @@ def test_multimodal_features_and_plan(spark) -> None:
     feats = multimodal.extract_media_features(media)
     rows = feats.collect()
     assert len(rows) == 24
+    mimes = {r["media_id"]: r["mime"] for r in media.collect()}
+    n_mjpeg = 0
     for r in rows:
         if r["kind"] == "image":  # REAL PPM decode: 3*(2+8) features
             assert r["decoded"] and len(r["feature"]) == 30
         elif r["kind"] == "audio":  # REAL WAV decode: 3+8 features
             assert r["decoded"] and len(r["feature"]) == 11
-        else:  # video: codec genuinely absent -> deterministic fake
-            assert not r["decoded"] and len(r["feature"]) == multimodal.FEATURE_DIM
+        elif r["decoded"]:  # video: REAL MJPEG frame decode (14 features)
+            assert len(r["feature"]) == 14
+            n_mjpeg += 1
+        else:  # inter-frame codecs (avc1) -> deterministic fake
+            assert len(r["feature"]) == multimodal.FEATURE_DIM
+    assert n_mjpeg >= 1  # the rotated-in MJPEG rows really decoded
     r0 = rows[0]
     assert r0["payload_sha256"] == hashlib.sha256(
         bytes(media.where(F.col("media_id") == r0["media_id"]).collect()[0]["payload"])
@@ -449,7 +455,7 @@ def test_png_codec_real_decode() -> None:
     # features flow through the mime dispatcher
     feats = mc.decode_features(mc.encode_png(img), "image/png")
     assert feats is not None and feats.shape == (30,)
-    assert mc.decode_features(b"\x00\x01", "audio/mpeg") is None  # no codec
+    assert mc.decode_features(b"\x00\x01", "audio/ogg") is None  # no codec
 
 
 def test_gif_codec_real_decode() -> None:
