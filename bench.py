@@ -108,6 +108,22 @@ chk = out["clusters"].agg(F.coalesce(F.expr(
 res = {{"wall": wall, "pages": n_pages, "clusters": n_clusters,
         "members": n_members, "clusters_checksum": chk,
         "cc_stats": out.get("cc_stats")}}
+truth_path = {truth_path!r}
+if truth_path:
+    # north-rule metric: pairwise F1 on labeled same-blocking-key pairs
+    # (computed OUTSIDE the timed window - evaluation, not pipeline work)
+    from yams_spark.operators.evaluation import labeled_pairs, pairwise_f1
+    truth = spark.read.parquet(truth_path)
+    f1_row = pairwise_f1(
+        labeled_pairs(out["pairs"], truth),
+        out["members"].select("url", "group_key"),
+    ).collect()[0]
+    res["pairwise_eval"] = {{
+        "tp": f1_row["tp"], "fp": f1_row["fp"], "fn": f1_row["fn"],
+        "precision": round(f1_row["precision"], 6),
+        "recall": round(f1_row["recall"], 6),
+        "f1": round(f1_row["f1"], 6),
+    }}
 if hot_fraction > 0:
     met = out["metrics"]
     over = (met.where(F.col("stage") == "block_oversize")
@@ -133,7 +149,11 @@ spark.stop()
 
 
 def _pipeline_subprocess(
-    cores: int, pages_path: str, cc_max_edges: int = -1, hot_fraction: float = 0.0
+    cores: int,
+    pages_path: str,
+    cc_max_edges: int = -1,
+    hot_fraction: float = 0.0,
+    truth_path: str = "",
 ) -> dict:
     env = dict(os.environ)
     env.setdefault("OMP_NUM_THREADS", "1")
@@ -147,7 +167,8 @@ def _pipeline_subprocess(
     env.setdefault("YAMS_SPARK_LOCAL_DIR", "/dev/shm/yams_spark_local")
     code = _RUN_SNIPPET.format(repo=_REPO, cores=cores, pages_path=pages_path,
                                 shuffle_parts=16, cc_max_edges=cc_max_edges,
-                                hot_fraction=hot_fraction)
+                                hot_fraction=hot_fraction,
+                                truth_path=truth_path)
     last_err = ""
     for attempt in (1, 2):  # one retry: local-mode python workers are
         # occasionally killed by the sandbox (Arrow socket reset) — a
@@ -246,7 +267,11 @@ def main() -> None:
     # headline leg is also best-of-2: one fresh-JVM run swings ±10-15% on
     # this sandbox (r3 drew 134.8 s where controlled runs measured 103-116)
     headline_runs = int(os.environ.get("YAMS_BENCH_HEADLINE_RUNS", "2"))
-    r_full = _pipeline_subprocess(cpus, pages_path)
+    truth_path = os.path.join(pages_dir, "truth.parquet")
+    # first headline run also evaluates the north-rule pairwise F1 against
+    # the generated ground truth (outside the timed window)
+    r_full = _pipeline_subprocess(cpus, pages_path, truth_path=truth_path)
+    pairwise_eval = r_full.get("pairwise_eval")
     for _ in range(headline_runs - 1):
         r2 = _pipeline_subprocess(cpus, pages_path)
         if r2["wall"] < r_full["wall"]:
@@ -327,6 +352,7 @@ def main() -> None:
         "pages": r_full["pages"],
         "clusters": r_full["clusters"],
         "docs_per_sec": round(thr_full, 2),
+        "pairwise_eval": pairwise_eval,
         "scaling": scaling,
         "cc_distributed": cc_distributed,
         "skew_stress": skew_stress,
