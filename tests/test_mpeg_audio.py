@@ -148,3 +148,27 @@ def test_media_codecs_dispatch():
     assert feats is not None and feats.dtype == np.float32
     # duration feature (index 2) reflects the decoded stream length
     assert feats[2] == pytest.approx(2 * 1152 / 44100, rel=1e-3)
+
+
+def test_container_metadata_covers_mpeg_audio(spark):
+    """extract_container_metadata parses MPEG-audio stream headers — for
+    Layer II rows AND a hand-built Layer III stream (metadata-only
+    format)."""
+    from yams_spark.operators.multimodal import extract_container_metadata
+
+    l2 = encode_layer2(_tone(1152 * 2), 44100, 192)
+    h = 0xFFF << 20 | 0x3 << 19 | 0x1 << 17 | 1 << 16 | 9 << 12 | 0 << 10 | 3 << 6
+    l3 = (h.to_bytes(4, "big") + b"\x00" * (144 * 128000 // 44100 - 4)) * 2
+    media = spark.createDataFrame(
+        [("a2", "audio", bytearray(l2), "audio/mpeg", None, None, None),
+         ("a3", "audio", bytearray(l3), "audio/mpeg", None, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    meta = {r["media_id"]: r for r in
+            extract_container_metadata(media).collect()}
+    assert meta["a2"]["brand"] == "mpeg1-layer2"
+    assert meta["a2"]["video_codec"] == "L2@192kbps"
+    assert meta["a2"]["duration_ms"] == int(round(2 * 1152 * 1000 / 44100))
+    assert meta["a3"]["brand"] == "mpeg1-layer3"
+    assert meta["a3"]["n_tracks"] == 1  # mono

@@ -109,13 +109,21 @@ def extract_media_features(
 
 def extract_container_metadata(media: DataFrame) -> DataFrame:
     """(media_id, brand, duration_ms, n_tracks, video_codec, width,
-    height): REAL ISO-BMFF container parsing for video rows
-    (functions/mp4_meta — the metadata tier the reference's extractor
-    surfaces without decoding frames). Non-MP4 / unparseable rows yield
-    nulls. One Arrow pass, narrow."""
+    height): REAL container/stream metadata parsing — ISO-BMFF box walk
+    for video rows (functions/mp4_meta) and MPEG-audio frame-header walk
+    for audio/mpeg rows (functions/mpeg_audio.stream_metadata; works for
+    every layer incl. III, whose sample decode is the strict boundary;
+    brand='mpeg1-layerN', n_tracks=channels, codec='LN@NNNkbps'). This is
+    the metadata tier the reference's extractor surfaces without decoding
+    samples. Unparseable / uncovered rows yield nulls. One Arrow pass,
+    narrow."""
 
     def compute(iterator):
         from yams_spark.functions.mp4_meta import parse_mp4
+        from yams_spark.functions.mpeg_audio import (
+            MpegAudioError,
+            stream_metadata,
+        )
 
         for pdf in iterator:
             rows = []
@@ -134,6 +142,17 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
                             codec = vids[0]["codec"]
                             w, h = vids[0]["width"], vids[0]["height"]
                     except ValueError:
+                        pass
+                elif mime in ("audio/mpeg", "audio/mp2", "audio/mp3") and payload:
+                    # MPEG audio metadata parses for EVERY layer — incl.
+                    # Layer III, whose sample decode is the strict boundary
+                    try:
+                        md = stream_metadata(bytes(payload))
+                        brand = f"mpeg1-layer{md['layer']}"
+                        dur = md["duration_ms"]
+                        n_tracks = md["n_channels"]
+                        codec = f"L{md['layer']}@{md['bitrate_kbps']}kbps"
+                    except MpegAudioError:
                         pass
                 rows.append((mid, brand, dur, n_tracks, codec, w, h))
             if rows:
