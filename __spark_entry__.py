@@ -1607,19 +1607,10 @@ def q72_entity_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q73_topology_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topology-routed search: query→cluster route scoring
-    (SparseGuidedClusterRouter::route, topology_baseline.cpp:771-985;
-    session selection topology_routing_session.cpp:130-160). Clusters =
-    embedding labels with element-wise AVG centroids (computed in-plan,
-    posexplode → groupBy(pos) → avg); sparse mass = weighted seed docs
-    broadcast through the membership table; dense = clamp((cos(query,
-    centroid)+1)/2, 0, 1). All three scoring modes emitted with the
-    reference's exact constants (0.05 persistence, 0.05/0.05·size_damp,
-    0.10 dense) plus the per-route cost/penalty columns."""
-    _ship_package(spark)
-    from yams_spark.operators.topo_routing import route_clusters
-
+def _topo_fixture(spark: SparkSession, sf_dir: str):
+    """(clusters, memberships, query_embedding, seeds) for the topology
+    routing entries: clusters = embedding labels with in-plan element-wise
+    AVG centroids + deterministic synthetic stability metrics."""
     e = _t(spark, sf_dir, "embeddings")
     memberships = e.select(
         F.col("vec_id").cast("string").alias("doc_hash"),
@@ -1656,6 +1647,23 @@ def q73_topology_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = stats.join(cent, "cluster_id")
     qe = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     seeds = {str(i): 1.0 + (i % 3) * 0.5 for i in range(1, 13)}
+    return clusters, memberships, qe, seeds
+
+
+def q73_topology_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology-routed search: query→cluster route scoring
+    (SparseGuidedClusterRouter::route, topology_baseline.cpp:771-985;
+    session selection topology_routing_session.cpp:130-160). Clusters =
+    embedding labels with element-wise AVG centroids (computed in-plan,
+    posexplode → groupBy(pos) → avg); sparse mass = weighted seed docs
+    broadcast through the membership table; dense = clamp((cos(query,
+    centroid)+1)/2, 0, 1). All three scoring modes emitted with the
+    reference's exact constants (0.05 persistence, 0.05/0.05·size_damp,
+    0.10 dense) plus the per-route cost/penalty columns."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_routing import route_clusters
+
+    clusters, memberships, qe, seeds = _topo_fixture(spark, sf_dir)
     parts = []
     for mode in ("current", "size_weighted", "seed_coverage"):
         r = route_clusters(
@@ -1677,6 +1685,58 @@ def q73_topology_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("size_penalty", 6).cast("double").alias("size_penalty"),
         "member_count",
         F.col("rk").cast("int").alias("rk"),
+    )
+
+
+def q74_routed_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-member materialization of the topology session
+    (materializeAllowedRouteMembers, topology_routing_session.cpp:750-806):
+    the top-2 routes' members ranked by the reference comparator — seed
+    anchors first (weight desc), then best route score, medoid flag,
+    first-route order, doc hash — capped at 40 docs. Medoid per cluster =
+    min doc hash (deterministic stand-in; real medoids come from
+    cluster_metrics and are pytest-verified there). Selection uses
+    select_routes_for_narrowing with (min=1, max=2, gap=0) ⇒ exactly the
+    top-2 routes, which the DuckDB oracle states as a rank-≤-2 window."""
+    _ship_package(spark)
+    from yams_spark.operators.search import global_rank
+    from yams_spark.operators.topo_routing import (
+        route_clusters,
+        routed_members,
+        select_routes_for_narrowing,
+    )
+
+    clusters, memberships, qe, seeds = _topo_fixture(spark, sf_dir)
+    routes_df = route_clusters(
+        spark, clusters, memberships, query_embedding=qe,
+        weighted_seeds=seeds, alpha=0.6, scoring_mode="current",
+    )
+    routes = [r.asDict() for r in routes_df.collect()]  # ≤ n_labels rows
+    medoids = {
+        r["cluster_id"]: r["m"]
+        for r in memberships.groupBy("cluster_id")
+        .agg(F.min("doc_hash").alias("m"))
+        .collect()
+    }  # bounded: one row per cluster
+    for r in routes:
+        r["medoid_hash"] = medoids[r["cluster_id"]]
+    sel = select_routes_for_narrowing(routes, 1, 2)
+    out = routed_members(
+        memberships, sel["routes"], seed_weights=seeds, max_docs=40
+    )
+    order = [
+        F.col("is_seed").desc(), F.col("seed_weight").desc(),
+        F.col("best_route_score").desc(), F.col("is_medoid").desc(),
+        F.col("first_route").asc(), F.col("doc_hash").asc(),
+    ]
+    ranked = global_rank(out, order, "rk")
+    return ranked.select(
+        "doc_hash",
+        F.col("rk").cast("int").alias("rk"),
+        F.round("best_route_score", 6).cast("double").alias("best_route_score"),
+        "is_seed",
+        "is_medoid",
+        F.col("first_route").cast("int").alias("first_route"),
     )
 
 
@@ -2329,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_semantic_mini": er_semantic_mini,
         "er_semantic_mini_members": er_semantic_mini_members,
         "q73_topology_route": q73_topology_route,
+        "q74_routed_members": q74_routed_members,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -4230,6 +4291,89 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY route_score DESC, cluster_id ASC) AS INTEGER)
                        AS rk
             FROM scored
+        """,
+        "q74_routed_members": """
+            WITH m AS (
+                SELECT CAST(vec_id AS VARCHAR) AS doc_hash,
+                       'c' || label AS cluster_id, label, embedding
+                FROM embeddings),
+            dims AS (
+                SELECT cluster_id,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM m),
+            cent AS (
+                SELECT cluster_id, pos, AVG(val) AS c
+                FROM dims GROUP BY cluster_id, pos),
+            qd AS (
+                SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings WHERE vec_id = 0),
+            qn AS (SELECT sqrt(SUM(val * val)) AS qnorm FROM qd),
+            cd AS (
+                SELECT cent.cluster_id, SUM(cent.c * qd.val) AS dot,
+                       sqrt(SUM(cent.c * cent.c)) AS cnorm
+                FROM cent JOIN qd USING (pos) GROUP BY cent.cluster_id),
+            dense AS (
+                SELECT cluster_id,
+                       LEAST(GREATEST(
+                           (dot / (cnorm * qn.qnorm) + 1.0) * 0.5, 0.0), 1.0)
+                           AS dense
+                FROM cd CROSS JOIN qn),
+            seeds(doc_hash, weight) AS (VALUES
+                ('1', 1.5), ('2', 2.0), ('3', 1.0), ('4', 1.5), ('5', 2.0),
+                ('6', 1.0), ('7', 1.5), ('8', 2.0), ('9', 1.0), ('10', 1.5),
+                ('11', 2.0), ('12', 1.0)),
+            mass AS (
+                SELECT m.cluster_id, SUM(s.weight) AS mass
+                FROM m JOIN seeds s USING (doc_hash) GROUP BY m.cluster_id),
+            mm AS (SELECT MAX(mass) AS maxmass FROM mass),
+            stats AS (
+                SELECT cluster_id,
+                       CAST(label % 7 AS DOUBLE) / 10.0 AS persistence
+                FROM m GROUP BY cluster_id, label),
+            scored AS (
+                SELECT st.cluster_id,
+                       0.6 * (CASE WHEN mm.maxmass > 0
+                              THEN COALESCE(ma.mass, 0.0) / mm.maxmass
+                              ELSE 0.0 END)
+                       + 0.4 * d.dense + st.persistence * 0.05 AS score
+                FROM stats st
+                JOIN dense d USING (cluster_id)
+                LEFT JOIN mass ma USING (cluster_id)
+                CROSS JOIN mm),
+            sel AS (
+                SELECT cluster_id, score, ridx FROM (
+                    SELECT cluster_id, score, ROW_NUMBER() OVER (
+                        ORDER BY score DESC, cluster_id ASC) AS ridx
+                    FROM scored) WHERE ridx <= 2),
+            med AS (
+                SELECT cluster_id, MIN(doc_hash) AS medoid
+                FROM m GROUP BY cluster_id),
+            mem AS (
+                SELECT m.doc_hash, MAX(sel.score) AS best,
+                       CAST(MIN(sel.ridx) - 1 AS INTEGER) AS first_route,
+                       MAX(CASE WHEN m.doc_hash = med.medoid
+                                THEN 1 ELSE 0 END) AS ismed
+                FROM m
+                JOIN sel USING (cluster_id)
+                JOIN med USING (cluster_id)
+                GROUP BY m.doc_hash),
+            j AS (
+                SELECT mem.*, s.weight FROM mem
+                LEFT JOIN seeds s USING (doc_hash)),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY
+                    (weight IS NOT NULL) DESC, COALESCE(weight, 0.0) DESC,
+                    best DESC, ismed DESC, first_route ASC, doc_hash ASC)
+                    AS rk
+                FROM j)
+            SELECT doc_hash, CAST(rk AS INTEGER) AS rk,
+                   CAST(ROUND(best, 6) AS DOUBLE) AS best_route_score,
+                   (weight IS NOT NULL) AS is_seed,
+                   (ismed = 1) AS is_medoid,
+                   first_route
+            FROM ranked WHERE rk <= 40
         """,
         "q70_mab_stats": """
             WITH r AS (

@@ -287,14 +287,15 @@ def routed_members(
 
     ``selected``: rows from ``select_routes_for_narrowing`` (dicts with
     cluster_id, route_score, optionally medoid_hash). Returns
-    (doc_hash, best_route_score, is_seed, is_medoid, first_route).
+    (doc_hash, best_route_score, is_seed, seed_weight, is_medoid,
+    first_route), ordered by the comparator.
     """
     spark = memberships.sparkSession
     if not selected:
         return spark.createDataFrame(
             [],
             "doc_hash string, best_route_score double, is_seed boolean, "
-            "is_medoid boolean, first_route int",
+            "seed_weight double, is_medoid boolean, first_route int",
         )
     routes_df = spark.createDataFrame(
         [
@@ -329,13 +330,13 @@ def routed_members(
         "doc_hash",
         "best_route_score",
         F.col("seed_weight").isNotNull().alias("is_seed"),
+        F.coalesce(F.col("seed_weight"), F.lit(0.0)).alias("seed_weight"),
         (F.col("_medoid") == 1).alias("is_medoid"),
         "first_route",
-        F.coalesce(F.col("seed_weight"), F.lit(0.0)).alias("_sw"),
     )
     order = [
         F.col("is_seed").desc(),
-        F.col("_sw").desc(),
+        F.col("seed_weight").desc(),
         F.col("best_route_score").desc(),
         F.col("is_medoid").desc(),
         F.col("first_route").asc(),
@@ -345,7 +346,7 @@ def routed_members(
         m = m.orderBy(*order).limit(max_docs)
     else:
         m = m.orderBy(*order)
-    return m.drop("_sw")
+    return m
 
 
 # ---------------------------------------------------------------------------
