@@ -2153,6 +2153,31 @@ def er_semantic_mini_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_semantic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster topology metrics (topology_baseline.cpp:122-208) over the
+    semantic-mini accepted-pair graph, DuckDB-hash-verified: cohesion /
+    persistence / density / bridge_mass and the weighted-degree medoid
+    with the hash-then-url tie-break — the first oracle (rather than
+    pytest-only) evidence for the cluster_metrics math, on a graph whose
+    edge weights come from the real semantic scoring stage."""
+    out = _er_semantic_outputs(spark)
+    from yams_spark.operators.clustering import cluster_metrics
+
+    accepted = out["scored_pairs"].where(F.col("accepted"))
+    m = cluster_metrics(out["signatures"], accepted)
+    return m.select(
+        "component",
+        "member_count",
+        "internal_edges",
+        F.round("cohesion", 6).cast("double").alias("cohesion"),
+        F.round("persistence", 6).cast("double").alias("persistence"),
+        F.round("density", 6).cast("double").alias("density"),
+        F.round("bridge_mass", 6).cast("double").alias("bridge_mass"),
+        "medoid_url",
+        F.round("medoid_score", 6).cast("double").alias("medoid_score"),
+    )
+
+
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC compressed ANN (the reference's default vector engine,
     vector_types.h:60-99; Jégou et al. 2011): train per-subspace codebooks
@@ -2390,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_semantic_mini_members": er_semantic_mini_members,
         "q73_topology_route": q73_topology_route,
         "q74_routed_members": q74_routed_members,
+        "er_semantic_metrics": er_semantic_metrics,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -2942,11 +2968,13 @@ def oracle_sql() -> dict[str, str]:
     from yams_spark.oracle.semantic_mini import (
         clusters_oracle_sql,
         members_oracle_sql,
+        metrics_oracle_sql,
     )
 
     return {
         "er_semantic_mini": clusters_oracle_sql(),
         "er_semantic_mini_members": members_oracle_sql(),
+        "er_semantic_metrics": metrics_oracle_sql(),
         "q01_list_scan_filters": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400

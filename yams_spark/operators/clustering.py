@@ -440,7 +440,15 @@ def cluster_metrics(
                     if abs(da - db) > 1e-9:
                         if da > db:
                             medoid_url = u
-                    elif hash_of[u] < hash_of[medoid_url]:
+                    elif hash_of[u] < hash_of[medoid_url] or (
+                        # equal hashes happen (exact byte duplicates at
+                        # different urls); lowest url makes the choice
+                        # deterministic regardless of pack order — the
+                        # reference's max_element would keep an arbitrary
+                        # first-encountered member here
+                        hash_of[u] == hash_of[medoid_url]
+                        and u < medoid_url
+                    ):
                         medoid_url = u
                 emb = np.stack(
                     [np.asarray(m["embedding"], dtype=np.float64) for m in members]

@@ -218,6 +218,71 @@ def clusters_oracle_sql() -> str:
     )
 
 
+def metrics_oracle_sql() -> str:
+    """Per-component topology metrics (topology_baseline.cpp:122-208) over
+    the semantic-mini accepted-pair graph: cohesion (mean edge weight),
+    persistence (min), density, bridge_mass (frac of members with degree
+    ≥ 2, n > 2 only), and the medoid by weighted internal degree with the
+    hash-then-url tie-break. The degree ordering uses ROUND(wdeg, 6) —
+    coarser than the pipeline's 1e-9 argmax tolerance, equivalent here
+    because fixture degrees are either exactly tied or > 1e-4 apart."""
+    return (
+        _common_cte()
+        + """
+            , wedges AS (
+                SELECT url_a AS u, url_b AS v, pair_score AS w FROM feat
+                WHERE accepted),
+            incident AS (
+                SELECT u AS url, w FROM wedges
+                UNION ALL SELECT v AS url, w FROM wedges),
+            wdeg AS (
+                SELECT url, SUM(w) AS wd, COUNT(*) AS deg
+                FROM incident GROUP BY url),
+            em AS (
+                SELECT c.component, e.w FROM wedges e
+                JOIN comp c ON c.url = e.u),
+            compstats AS (
+                SELECT component, COUNT(*) AS internal_edges,
+                       AVG(w) AS cohesion, MIN(w) AS persistence
+                FROM em GROUP BY component),
+            nmem AS (
+                SELECT component, COUNT(*) AS member_count FROM mem
+                GROUP BY component),
+            bridge AS (
+                SELECT mem.component,
+                       SUM(CASE WHEN wdeg.deg >= 2 THEN 1 ELSE 0 END) * 1.0
+                           AS n_bridge
+                FROM mem JOIN wdeg USING (url) GROUP BY mem.component),
+            medoid AS (
+                SELECT component, url AS medoid_url, wd AS medoid_score
+                FROM (
+                    SELECT mem.component, mem.url, wdeg.wd, mem.doc_hash,
+                           ROW_NUMBER() OVER (PARTITION BY mem.component
+                               ORDER BY ROUND(wdeg.wd, 6) DESC,
+                                        mem.doc_hash ASC, mem.url ASC)
+                               AS mrk
+                    FROM mem JOIN wdeg USING (url))
+                WHERE mrk = 1)
+            SELECT n.component, CAST(n.member_count AS BIGINT) AS member_count,
+                   CAST(s.internal_edges AS BIGINT) AS internal_edges,
+                   CAST(ROUND(s.cohesion, 6) AS DOUBLE) AS cohesion,
+                   CAST(ROUND(s.persistence, 6) AS DOUBLE) AS persistence,
+                   CAST(ROUND(s.internal_edges
+                        / (n.member_count * (n.member_count - 1) / 2.0), 6)
+                        AS DOUBLE) AS density,
+                   CAST(ROUND(CASE WHEN n.member_count > 2
+                        THEN b.n_bridge / n.member_count ELSE 0.0 END, 6)
+                        AS DOUBLE) AS bridge_mass,
+                   m.medoid_url,
+                   CAST(ROUND(m.medoid_score, 6) AS DOUBLE) AS medoid_score
+            FROM nmem n
+            JOIN compstats s USING (component)
+            JOIN bridge b USING (component)
+            JOIN medoid m USING (component)
+        """
+    )
+
+
 def members_oracle_sql() -> str:
     return (
         _common_cte()
