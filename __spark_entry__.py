@@ -2431,8 +2431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_mab_stats": q70_mab_stats,
         "q71_graph_vector": q71_graph_vector,
         "q72_entity_vector": q72_entity_vector,
-        "q51_hotzone_fusion": q51_hotzone_fusion,
-        "q52_prefix_match": q52_prefix_match,
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
         "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
         "q55_bpe_token_count": q55_bpe_token_count,
@@ -2465,7 +2463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": ann_ivf_pq,
         "media_features": media_features,
         "topology_quality": topology_quality,
-        # --- substantive stable oracles (kept inside the window)
+        # --- substantive stable oracles (behind the window since round 5:
+        # q51/q52 were driver-green in BOTH the r3 and r4 windows and stay
+        # covered by the full check_entry sweep)
+        "q51_hotzone_fusion": q51_hotzone_fusion,
+        "q52_prefix_match": q52_prefix_match,
         "q09_term_stats": q09_term_stats,
         "q11_bm25": q11_bm25,
         "q12_fusion_rrf": q12_fusion_rrf,
