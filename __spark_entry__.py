@@ -2178,6 +2178,75 @@ def er_semantic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def search_topo_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology-routed hybrid search over the REAL ER corpus — the full
+    session composition of topology_routing_session.cpp: cluster
+    artifacts (centroids + cohesion/persistence + medoids) come from
+    cluster_metrics over the pipeline's accepted pairs, a deterministic
+    page seeds the route (sparse mass) and supplies the query embedding
+    (dense centroid cosine), routes narrow with the adaptive score gap,
+    the selected routes materialize their allowed members
+    (reference-comparator ranked, capped 500), and the hybrid fanout runs
+    confined to routed candidates via the route_gate semi-join. Rows-only
+    (k-means-free but the pipeline corpus has no SQL twin); every stage
+    it composes is individually oracle- or pytest-verified."""
+    _ship_package(spark)
+    from yams_spark.operators.clustering import cluster_metrics
+    from yams_spark.operators.neighbors import hybrid_search
+    from yams_spark.operators.topo_routing import (
+        route_clusters,
+        routed_members,
+        select_routes_for_narrowing,
+    )
+
+    out = _er_outputs(spark, sf_dir)
+    sigs = out["signatures"]
+    accepted = out["scored_pairs"].where(F.col("accepted"))
+    cm = cluster_metrics(sigs, accepted)
+    clusters = cm.select(
+        F.col("component").alias("cluster_id"),
+        "member_count",
+        "persistence",
+        "cohesion",
+        "centroid",
+        F.col("medoid_url").alias("medoid_hash"),
+    )
+    memberships = (
+        out["members"]
+        .select(F.col("url").alias("doc_hash"), F.col("component").alias("cluster_id"))
+        .distinct()
+    )
+    # deterministic query page: a clustered member (so routing has signal)
+    target = (
+        sigs.join(memberships, sigs["url"] == memberships["doc_hash"], "left_semi")
+        .orderBy("url")
+        .limit(1)
+        .collect()[0]
+    )
+    qe = [float(x) for x in target["embedding"]]
+    qtext = " ".join(target["extracted_text"].split()[:6])
+    seeds = {target["url"]: 1.0}
+    routes_df = route_clusters(
+        spark, clusters, memberships, query_embedding=qe,
+        weighted_seeds=seeds, alpha=0.5, limit=8,
+    )
+    route_rows = routes_df.join(
+        clusters.select("cluster_id", "medoid_hash"), "cluster_id"
+    ).orderBy(F.col("rk")).collect()  # bounded: limit=8 routes
+    routes = [r.asDict() for r in route_rows]
+    sel = select_routes_for_narrowing(routes, 1, 4, adaptive_score_gap=0.1)
+    allowed = routed_members(
+        memberships, sel["routes"], seed_weights=seeds, max_docs=500
+    )
+    docs = sigs.select(
+        F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
+    )
+    return hybrid_search(
+        spark, docs, qtext, None, limit=10,
+        route_gate=allowed.select(F.col("doc_hash").alias("doc_id")),
+    )
+
+
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC compressed ANN (the reference's default vector engine,
     vector_types.h:60-99; Jégou et al. 2011): train per-subspace codebooks
@@ -2431,7 +2500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_mab_stats": q70_mab_stats,
         "q71_graph_vector": q71_graph_vector,
         "q72_entity_vector": q72_entity_vector,
-        "q53_kg_node_embeddings": q53_kg_node_embeddings,
         "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
         "q55_bpe_token_count": q55_bpe_token_count,
         "q56_lang_id_ngram": q56_lang_id_ngram,
@@ -2458,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_eval": er_eval,
         "er_neighbor_edges": er_neighbor_edges,
         "search_hybrid": search_hybrid,
+        "search_topo_routed": search_topo_routed,
         "ann_pq_adc": ann_pq_adc,
         "ann_ivf": ann_ivf,
         "ann_ivf_pq": ann_ivf_pq,
@@ -2468,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covered by the full check_entry sweep)
         "q51_hotzone_fusion": q51_hotzone_fusion,
         "q52_prefix_match": q52_prefix_match,
+        "q53_kg_node_embeddings": q53_kg_node_embeddings,
         "q09_term_stats": q09_term_stats,
         "q11_bm25": q11_bm25,
         "q12_fusion_rrf": q12_fusion_rrf,
