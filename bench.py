@@ -132,6 +132,12 @@ if hot_fraction > 0:
                         met.where(F.col("stage") == "pair").collect())
     res["skew"] = {{
         "hot_pages": n_hot,
+        # the hot family still dedups: one cluster per salted sub-block
+        # (cross-sub-block pairs are the accounted truncation)
+        "hot_clusters": out["clusters"].where(
+            F.col("canonical_url").startswith("hot://")).count(),
+        "hot_members": out["members"].where(
+            F.col("url").startswith("hot://")).count(),
         "oversize_keys": len(over) and met.where(
             F.col("stage") == "block_oversize").count(),
         "hot_block_size": over[0]["rows_in"] if over else 0,
