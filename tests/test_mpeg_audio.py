@@ -172,3 +172,24 @@ def test_container_metadata_covers_mpeg_audio(spark):
     assert meta["a2"]["duration_ms"] == int(round(2 * 1152 * 1000 / 44100))
     assert meta["a3"]["brand"] == "mpeg1-layer3"
     assert meta["a3"]["n_tracks"] == 1  # mono
+
+
+def test_layer2_stereo_roundtrip():
+    """Stereo (mode=0) frames: channel-interleaved allocation/scalefactor/
+    sample layout per §2.4.1.6; both channels reconstruct independently."""
+    n = 1152 * 4
+    t = np.arange(n)
+    left = 0.5 * np.sin(2 * np.pi * 440 * t / 44100)
+    right = 0.4 * np.sin(2 * np.pi * 1320 * t / 44100)
+    pcm = np.stack([left, right], axis=1)
+    bs = encode_layer2(pcm, 44100, 384)
+    md = stream_metadata(bs)
+    assert md["n_channels"] == 2 and md["n_frames"] == 4
+    out, sr = decode_mpeg_audio(bs)
+    assert out.shape[1] == 2
+    for ch, ref in ((0, left), (1, right)):
+        got = out[DELAY:, ch]
+        assert _snr(ref[: len(got)], got) >= 25.0, ch
+    # channels are not swapped: left's 440 Hz dominates channel 0 only
+    assert np.corrcoef(left[: len(out) - DELAY], out[DELAY:, 0])[0, 1] > 0.99
+    assert abs(np.corrcoef(left[: len(out) - DELAY], out[DELAY:, 1])[0, 1]) < 0.1

@@ -343,56 +343,74 @@ def _header_word(layer: int, bitrate: int, sample_rate: int, mode: int) -> int:
 def encode_layer2(
     pcm: np.ndarray, sample_rate: int = 44100, bitrate: int = 192
 ) -> bytes:
-    """Mono Layer II encoder (fixed mid-tier allocation): analysis
-    filterbank -> per-third scalefactors -> 15-level-class quantization
-    where the table allows, grouped 3-level in the 2-bit top band."""
-    if pcm.ndim != 1:
-        raise MpegAudioError("mono only")
-    table = layer2_table(sample_rate, bitrate)
+    """Layer II encoder, mono (n,) mode=single_channel or stereo (n, 2)
+    mode=stereo, fixed mid-tier allocation: analysis filterbank ->
+    per-third scalefactors -> 255-level low bands / 15-level mid /
+    grouped 3-level top. Channel interleaving follows §2.4.1.6: per
+    subband over channels for allocation/scfsi/scalefactors, per granule
+    per subband over channels for samples."""
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    if pcm.ndim != 2 or pcm.shape[1] not in (1, 2):
+        raise MpegAudioError("mono or stereo only")
+    nch = pcm.shape[1]
+    mode = 3 if nch == 1 else 0
+    table = layer2_table(sample_rate, bitrate // nch)
     sblimit = len(table)
     frames = []
-    n_frames = len(pcm) // 1152
-    # ONE analysis pass over the whole stream: the filterbank has a
-    # 512-sample memory, so restarting it per frame would corrupt the
-    # first ~512 samples of every frame
-    sb_all = analyze(pcm[: n_frames * 1152])
+    n_frames = pcm.shape[0] // 1152
+    # ONE analysis pass per channel over the whole stream: the filterbank
+    # has a 512-sample memory, so restarting it per frame would corrupt
+    # the first ~512 samples of every frame
+    sb_all = np.stack(
+        [analyze(pcm[: n_frames * 1152, ch]) for ch in range(nch)], axis=2
+    )  # (n_gran, 32, nch)
+    allocs: list[int] = []
+    for s in range(sblimit):
+        _, classes = table[s]
+        # energy-weighted static allocation that fits the 192 kbps/ch
+        # budget: 255 levels in the low bands, 15 mid, grouped 3 top
+        want = 255 if (s < 3 and 255 in classes) else (
+            15 if 15 in classes else classes[0])
+        allocs.append(classes.index(want) + 1)
     for f in range(n_frames):
-        sb = sb_all[f * 36 : (f + 1) * 36]  # (36, 32)
+        sb = sb_all[f * 36 : (f + 1) * 36]  # (36, 32, nch)
         w = _BitWriter()
-        w.write(_header_word(2, bitrate, sample_rate, 3), 32)
-        allocs: list[int] = []
+        w.write(_header_word(2, bitrate, sample_rate, mode), 32)
         for s in range(sblimit):
-            nbal, classes = table[s]
-            # energy-weighted static allocation that fits the 192 kbps
-            # budget: 255 levels in the low bands, 15 mid, grouped 3 top
-            want = 255 if (s < 3 and 255 in classes) else (
-                15 if 15 in classes else classes[0])
-            allocs.append(classes.index(want) + 1)
-            w.write(allocs[-1], nbal)
-        scf_idx = np.zeros((sblimit, 3), dtype=int)
+            nbal, _ = table[s]
+            for _ch in range(nch):
+                w.write(allocs[s], nbal)
+        scf_idx = np.zeros((sblimit, nch, 3), dtype=int)
         for s in range(sblimit):
-            w.write(0, 2)  # scfsi 0: three scalefactors
+            for _ch in range(nch):
+                w.write(0, 2)  # scfsi 0: three scalefactors
         for s in range(sblimit):
-            for part in range(3):
-                seg = sb[part * 12 : (part + 1) * 12, s]
-                scf_idx[s, part] = _sf_index_for(float(np.abs(seg).max()))
-            for part in range(3):
-                w.write(int(scf_idx[s, part]), 6)
+            for ch in range(nch):
+                for part in range(3):
+                    seg = sb[part * 12 : (part + 1) * 12, s, ch]
+                    scf_idx[s, ch, part] = _sf_index_for(
+                        float(np.abs(seg).max())
+                    )
+                for part in range(3):
+                    w.write(int(scf_idx[s, ch, part]), 6)
         for g in range(12):
             for s in range(sblimit):
-                nbal, classes = table[s]
+                _, classes = table[s]
                 levels = classes[allocs[s] - 1]
                 _, _, bits, _, grouped = _class_params(levels)
-                sf = _scalefactor(int(scf_idx[s, g // 4]))
-                codes = [
-                    _quant(sb[g * 3 + t, s] / sf, levels) for t in range(3)
-                ]
-                if grouped:
-                    gc = codes[0] + levels * (codes[1] + levels * codes[2])
-                    w.write(gc, bits)
-                else:
-                    for c in codes:
-                        w.write(c, bits)
+                for ch in range(nch):
+                    sf = _scalefactor(int(scf_idx[s, ch, g // 4]))
+                    codes = [
+                        _quant(sb[g * 3 + t, s, ch] / sf, levels)
+                        for t in range(3)
+                    ]
+                    if grouped:
+                        gc = codes[0] + levels * (codes[1] + levels * codes[2])
+                        w.write(gc, bits)
+                    else:
+                        for c in codes:
+                            w.write(c, bits)
         frames.append(w.tobytes(pad_to=144 * bitrate * 1000 // sample_rate))
     return b"".join(frames)
 
