@@ -2070,10 +2070,16 @@ def er_mini_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ER_SEMANTIC_CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
-def _er_semantic_outputs(spark: SparkSession) -> dict[str, DataFrame]:
+def _er_semantic_outputs(
+    spark: SparkSession, driver_cc_max_edges: int = -1
+) -> dict[str, DataFrame]:
     """The er_semantic_mini pipeline run (sf-independent deterministic
-    corpus; see yams_spark/oracle/semantic_mini.py), cached per session."""
-    if "out" not in _ER_SEMANTIC_CACHE:
+    corpus; see yams_spark/oracle/semantic_mini.py), cached per session.
+    ``driver_cc_max_edges=0`` routes the transitive closure through the
+    distributed large-star/small-star branch instead of the driver
+    union-find (same published clusters by construction — and by oracle)."""
+    key = f"out_{driver_cc_max_edges}"
+    if key not in _ER_SEMANTIC_CACHE:
         _ship_package(spark)
         from yams_spark.oracle.semantic_mini import (
             embedding_for,
@@ -2102,13 +2108,16 @@ def _er_semantic_outputs(spark: SparkSession) -> dict[str, DataFrame]:
         out = run_pipeline(
             spark,
             pages,
-            PipelineConfig(families=("exact", "title")),
+            PipelineConfig(
+                families=("exact", "title"),
+                driver_cc_max_edges=driver_cc_max_edges,
+            ),
             precomputed_embeddings=pre,
         )
         out["clusters"] = out["clusters"].persist()
         out["members"] = out["members"].persist()
-        _ER_SEMANTIC_CACHE["out"] = out
-    return _ER_SEMANTIC_CACHE["out"]
+        _ER_SEMANTIC_CACHE[key] = out
+    return _ER_SEMANTIC_CACHE[key]
 
 
 def er_semantic_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2125,6 +2134,22 @@ def er_semantic_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap-missing reject, transitive-only members. Corpus/scenario
     detail: yams_spark/oracle/semantic_mini.py."""
     out = _er_semantic_outputs(spark)
+    return out["clusters"].select(
+        "group_key",
+        "canonical_url",
+        "member_count",
+        F.round("max_pair_score", 6).cast("double").alias("max_pair_score"),
+    )
+
+
+def er_semantic_mini_distcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """er_semantic_mini with the transitive closure FORCED through the
+    distributed large-star/small-star branch (driver_cc_max_edges=0) —
+    the iterative-CC code path itself, DuckDB-hash-verified against the
+    same independent closure oracle (previously the branch was only
+    pytest-equal to the driver union-find and bench-checksum-equal at
+    sf0.1)."""
+    out = _er_semantic_outputs(spark, driver_cc_max_edges=0)
     return out["clusters"].select(
         "group_key",
         "canonical_url",
@@ -2485,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_topology_route": q73_topology_route,
         "q74_routed_members": q74_routed_members,
         "er_semantic_metrics": er_semantic_metrics,
+        "er_semantic_mini_distcc": er_semantic_mini_distcc,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -2500,7 +2526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_mab_stats": q70_mab_stats,
         "q71_graph_vector": q71_graph_vector,
         "q72_entity_vector": q72_entity_vector,
-        "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
         "q55_bpe_token_count": q55_bpe_token_count,
         "q56_lang_id_ngram": q56_lang_id_ngram,
         "q57_phrase_bm25": q57_phrase_bm25,
@@ -2538,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_hotzone_fusion": q51_hotzone_fusion,
         "q52_prefix_match": q52_prefix_match,
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
+        "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
         "q09_term_stats": q09_term_stats,
         "q11_bm25": q11_bm25,
         "q12_fusion_rrf": q12_fusion_rrf,
@@ -3046,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "er_semantic_mini": clusters_oracle_sql(),
         "er_semantic_mini_members": members_oracle_sql(),
+        "er_semantic_mini_distcc": clusters_oracle_sql(),
         "er_semantic_metrics": metrics_oracle_sql(),
         "q01_list_scan_filters": """
             SELECT doc_id, lang, source, n_chars FROM documents
