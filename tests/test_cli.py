@@ -126,3 +126,27 @@ def test_cli_graph_bfs(spark, tmp_path, capsys) -> None:
     assert main(["graph", "a", "--edges", p, "--relation", "r1"],
                 spark=spark) == 0
     assert {r["node"] for r in _jsonl(capsys)} == {"a", "b", "c"}
+
+
+def test_cli_topo(spark, tmp_path, capsys) -> None:
+    clusters = spark.createDataFrame(
+        [("c0", 4, 0.4, 0.8, [1.0, 0.0]), ("c1", 2, 0.2, 0.5, [0.0, 1.0])],
+        "cluster_id string, member_count long, persistence double, "
+        "cohesion double, centroid array<double>",
+    )
+    mem = spark.createDataFrame(
+        [("d0", "c0"), ("d1", "c0"), ("e0", "c1")],
+        "doc_hash string, cluster_id string",
+    )
+    cp, mp = str(tmp_path / "cl.parquet"), str(tmp_path / "mem.parquet")
+    clusters.write.parquet(cp)
+    mem.write.parquet(mp)
+    assert main([
+        "topo", "--clusters", cp, "--memberships", mp,
+        "--seed", "d0=2.0", "--seed", "e0", "--alpha", "1.0",
+    ], spark=spark) == 0
+    rows = _jsonl(capsys)
+    assert [r["cluster_id"] for r in rows] == ["c0", "c1"]
+    # alpha=1: pure sparse mass (2.0 vs 1.0) + 0.05*persistence
+    assert abs(rows[0]["route_score"] - (1.0 + 0.02)) < 1e-9
+    assert abs(rows[1]["route_score"] - (0.5 + 0.01)) < 1e-9

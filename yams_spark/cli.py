@@ -144,6 +144,28 @@ def cmd_route(spark, args) -> int:
     return 0
 
 
+def cmd_topo(spark, args) -> int:
+    """Route a query to candidate clusters (topology session): clusters
+    parquet (cluster_id, member_count, persistence, cohesion, centroid)
+    + memberships parquet (doc_hash, cluster_id); seeds as
+    doc_hash[=weight] pairs; emits the scored routes."""
+    from yams_spark.operators.topo_routing import route_clusters
+
+    clusters = spark.read.parquet(args.clusters)
+    memberships = spark.read.parquet(args.memberships)
+    seeds = {}
+    for s in args.seed or []:
+        h, _, w = s.partition("=")
+        seeds[h] = float(w) if w else 1.0
+    out = route_clusters(
+        spark, clusters, memberships,
+        weighted_seeds=seeds or None,
+        alpha=args.alpha, scoring_mode=args.mode, limit=args.limit,
+    )
+    _emit(out, args.limit or 20)
+    return 0
+
+
 def cmd_facets(spark, args) -> int:
     from yams_spark.operators.facets import choose_sample_digits, facet_counts
 
@@ -238,6 +260,16 @@ def build_parser() -> argparse.ArgumentParser:
     rt = sub.add_parser("route", help="classify one query (intent/mode/community)")
     rt.add_argument("query")
     rt.set_defaults(fn=cmd_route)
+
+    tp = sub.add_parser("topo", help="topology cluster routing for a query")
+    tp.add_argument("--clusters", required=True)
+    tp.add_argument("--memberships", required=True)
+    tp.add_argument("--seed", action="append", help="doc_hash[=weight]")
+    tp.add_argument("--alpha", type=float, default=1.0)
+    tp.add_argument("--mode", default="current",
+                    choices=["current", "size_weighted", "seed_coverage"])
+    tp.add_argument("--limit", type=int, default=10)
+    tp.set_defaults(fn=cmd_topo)
 
     fc = sub.add_parser("facets", help="facet value counts (sampled above threshold)")
     fc.add_argument("fields", nargs="+")
