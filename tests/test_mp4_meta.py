@@ -49,7 +49,7 @@ def test_container_metadata_spark_pass(spark) -> None:
     media = synth_media_table(spark, n=24)
     meta = {r["media_id"]: r for r in
             extract_container_metadata(media).collect()}
-    vids = [m for m in meta.values() if m["brand"] is not None]
+    vids = [m for m in meta.values() if m["brand"] == "isom"]
     # every video row parses: 2 tracks, avc1 (or the rotated-in MJPEG
     # rows with their small real-frame dims), the synthesized durations
     assert len(vids) == 8  # kinds rotate image/audio/video over 24 rows
@@ -61,7 +61,10 @@ def test_container_metadata_spark_pass(spark) -> None:
         else:
             assert v["width"] == 16 and v["height"] == 16
         assert v["duration_ms"] and v["duration_ms"] % 750 == 0
-    # image/audio rows yield nulls (not MP4)
+    # MPEG-audio rows surface the stream-metadata tier
+    mp2 = [m for m in meta.values() if m["brand"] == "mpeg1-layer2"]
+    assert len(mp2) == 2 and all(m["video_codec"] == "L2@192kbps" for m in mp2)
+    # image / wav / flac rows yield nulls (no container walk for them)
     assert any(m["brand"] is None for m in meta.values())
     # MJPEG rows now decode pixels for REAL; avc1 stays honestly stubbed
     from yams_spark.operators.multimodal import extract_media_features

@@ -228,7 +228,7 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
                     (tone * 32767).astype(np.int32), rate=8000
                 )
                 mime = "audio/flac"
-            elif i % 6 == 4:
+            elif i % 12 == 4:  # (audio rows have i%6 in {1,4}: keep WAV too)
                 from yams_spark.functions.mpeg_audio import encode_layer2
 
                 t2 = np.arange(1152 * 2) / 44100.0
