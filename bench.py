@@ -32,7 +32,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        round 1's efficiency already clears the bar by this margin; OFF by
        default — the round-3 driver sample showed single-shot legs are not
        trustworthy evidence, so every leg is measured best-of-2)
-     YAMS_BENCH_HEADLINE_RUNS (full-core runs, default 2, min wall reported)
+     YAMS_BENCH_HEADLINE_RUNS (full-core runs, default 3, min wall reported:
+       solo draws at identical code measured 95.5-118 s this round)
      YAMS_BENCH_QUERY_RUNS (timed runs per operator query, default 2, min
        reported: decorrelates per-query timings from warm-order effects)
      YAMS_BENCH_SKIP_SCALING=1 (only the full-core run)
@@ -272,7 +273,7 @@ def main() -> None:
 
     # headline leg is also best-of-2: one fresh-JVM run swings ±10-15% on
     # this sandbox (r3 drew 134.8 s where controlled runs measured 103-116)
-    headline_runs = int(os.environ.get("YAMS_BENCH_HEADLINE_RUNS", "2"))
+    headline_runs = int(os.environ.get("YAMS_BENCH_HEADLINE_RUNS", "3"))
     truth_path = os.path.join(pages_dir, "truth.parquet")
     # first headline run also evaluates the north-rule pairwise F1 against
     # the generated ground truth (outside the timed window)
