@@ -1740,6 +1740,104 @@ def q74_routed_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store integrity verification (chunk_validator.cpp:31-140,
+    verifier.h:60-82): manifests = 64-char chunks of each document with
+    sha256 hashes; the content-addressed store deterministically corrupts
+    chunks whose hash starts 00/01/02 and drops 03/04 (simulated bit rot
+    + loss). Validation is ONE left join + JVM-side sha2; the per-file
+    report carries the reference's counters and success/error rates."""
+    _ship_package(spark)
+    from yams_spark.operators.integrity import integrity_report, validate_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select(
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("file_hash"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, least(3, cast(floor((length(text)-1)/64) as int))),"
+                " i -> substring(text, i*64+1, 64))"
+            )
+        ).alias("idx", "chunk"),
+    ).where(F.length("chunk") > 0)
+    manifests = ch.select(
+        "file_hash",
+        F.sha2(F.encode("chunk", "UTF-8"), 256).alias("chunk_hash"),
+        (F.col("idx") * 64).alias("offset"),
+        F.length("chunk").alias("size"),
+    )
+    uniq = (
+        ch.select(
+            F.sha2(F.encode("chunk", "UTF-8"), 256).alias("chunk_hash"), "chunk"
+        )
+        .dropDuplicates(["chunk_hash"])
+    )
+    prefix = F.substring("chunk_hash", 1, 2)
+    store = (
+        uniq.where(~prefix.isin("03", "04"))  # dropped chunks -> 'missing'
+        .select(
+            "chunk_hash",
+            F.when(
+                prefix.isin("00", "01", "02"),
+                F.concat(F.lit("X"), F.substring("chunk", 2, 1 << 20)),
+            )
+            .otherwise(F.col("chunk"))
+            .alias("data"),
+        )
+    )
+    rep = integrity_report(validate_chunks(manifests, store))
+    return rep.select(
+        "file_hash",
+        "blocks_verified",
+        "blocks_passed",
+        "blocks_failed",
+        "blocks_missing",
+        "total_bytes",
+        F.round("success_rate", 6).cast("double").alias("success_rate"),
+        F.round("error_rate", 6).cast("double").alias("error_rate"),
+        "overall_success",
+    )
+
+
+def q76_verification_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification scheduler (verifier.h:87-105 + the scheduler's
+    max-heap drain): blocks with synthetic-but-deterministic
+    last-verified / failure / access stats; 'balanced' uses the exact
+    priority formula failures·1000 + age_h/24 + access/10; 'by_age'
+    orders on staleness alone. Top-100 per strategy as
+    orderBy().limit() — no queue, no global sort."""
+    _ship_package(spark)
+    from yams_spark.operators.integrity import verification_schedule
+
+    d = _t(spark, sf_dir, "documents")
+    # stats derive from the HASH, not doc_id: duplicate texts then yield
+    # fully identical rows, so the top-100 cut is engine-independent
+    h = F.sha2(F.encode("text", "UTF-8"), 256)
+    blocks = d.select(
+        h.alias("block_hash"),
+        (
+            F.lit(1704067200)
+            - (F.ascii(F.substring(h, 3, 1)) % 50) * 7200
+        ).alias("last_verified_epoch"),
+        (F.ascii(F.substring(h, 1, 1)) % 4).alias("failure_count"),
+        F.col("n_chars").alias("size"),
+        (F.ascii(F.substring(h, 2, 1)) % 37).alias("access_count"),
+    )
+    now = 1705000000
+    parts = []
+    for strat in ("balanced", "by_age"):
+        s = verification_schedule(blocks, budget=100, now_epoch=now, strategy=strat)
+        parts.append(s.withColumn("strategy", F.lit(strat)))
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "strategy",
+        "block_hash",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("failure_count").cast("long").alias("failure_count"),
+        F.col("access_count").cast("long").alias("access_count"),
+    )
+
+
 #: q69 synthetic query per document — identical SQL for Spark and DuckDB
 #: (concat/substring/CASE agree); exercises every routing branch
 _Q69_SYNTH = """
@@ -2511,6 +2609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_routed_members": q74_routed_members,
         "er_semantic_metrics": er_semantic_metrics,
         "er_semantic_mini_distcc": er_semantic_mini_distcc,
+        "q75_integrity_report": q75_integrity_report,
+        "q76_verification_schedule": q76_verification_schedule,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -2526,8 +2626,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_mab_stats": q70_mab_stats,
         "q71_graph_vector": q71_graph_vector,
         "q72_entity_vector": q72_entity_vector,
-        "q55_bpe_token_count": q55_bpe_token_count,
-        "q56_lang_id_ngram": q56_lang_id_ngram,
         "q57_phrase_bm25": q57_phrase_bm25,
         "q58_snippet_phrase": q58_snippet_phrase,
         "q43_kg_doc_entities": q43_kg_doc_entities,
@@ -2564,6 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_prefix_match": q52_prefix_match,
         "q53_kg_node_embeddings": q53_kg_node_embeddings,
         "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
+        "q55_bpe_token_count": q55_bpe_token_count,
+        "q56_lang_id_ngram": q56_lang_id_ngram,
         "q09_term_stats": q09_term_stats,
         "q11_bm25": q11_bm25,
         "q12_fusion_rrf": q12_fusion_rrf,
@@ -4418,6 +4518,84 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY route_score DESC, cluster_id ASC) AS INTEGER)
                        AS rk
             FROM scored
+        """,
+        "q75_integrity_report": """
+            WITH ch AS (
+                SELECT sha256(text) AS file_hash, CAST(i AS INTEGER) AS idx,
+                       substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+                FROM (
+                    SELECT text,
+                           unnest(range(0, CAST(least(3,
+                               floor((length(text) - 1) / 64)) AS INTEGER) + 1))
+                               AS i
+                    FROM documents)
+                WHERE length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) > 0),
+            man AS (
+                SELECT file_hash, sha256(chunk) AS chunk_hash,
+                       idx * 64 AS "offset", length(chunk) AS size
+                FROM ch),
+            uniq AS (SELECT DISTINCT sha256(chunk) AS chunk_hash, chunk FROM ch),
+            store AS (
+                SELECT chunk_hash,
+                       CASE WHEN substr(chunk_hash, 1, 2) IN ('00', '01', '02')
+                            THEN 'X' || substr(chunk, 2)
+                            ELSE chunk END AS data
+                FROM uniq
+                WHERE substr(chunk_hash, 1, 2) NOT IN ('03', '04')),
+            val AS (
+                SELECT man.file_hash, man.size,
+                       CASE WHEN s.chunk_hash IS NULL THEN 'missing'
+                            WHEN sha256(s.data) = man.chunk_hash THEN 'valid'
+                            ELSE 'corrupt' END AS status
+                FROM man LEFT JOIN store s USING (chunk_hash)),
+            agg AS (
+                SELECT file_hash, COUNT(*) AS v,
+                       SUM(CASE WHEN status = 'valid' THEN 1 ELSE 0 END) AS p,
+                       SUM(CASE WHEN status = 'corrupt' THEN 1 ELSE 0 END) AS f,
+                       SUM(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) AS m,
+                       SUM(size) AS tb
+                FROM val GROUP BY file_hash)
+            SELECT file_hash,
+                   CAST(v AS BIGINT) AS blocks_verified,
+                   CAST(p AS BIGINT) AS blocks_passed,
+                   CAST(f AS BIGINT) AS blocks_failed,
+                   CAST(m AS BIGINT) AS blocks_missing,
+                   CAST(tb AS BIGINT) AS total_bytes,
+                   CAST(ROUND(p * 1.0 / v, 6) AS DOUBLE) AS success_rate,
+                   CAST(ROUND((f + m) * 1.0 / v, 6) AS DOUBLE) AS error_rate,
+                   (f + m = 0) AS overall_success
+            FROM agg
+        """,
+        "q76_verification_schedule": """
+            WITH b AS (
+                SELECT sha256(text) AS block_hash,
+                       1704067200
+                           - (ascii(substr(sha256(text), 3, 1)) % 50) * 7200
+                           AS lv,
+                       ascii(substr(sha256(text), 1, 1)) % 4 AS failure_count,
+                       ascii(substr(sha256(text), 2, 1)) % 37 AS access_count
+                FROM documents),
+            pr AS (
+                SELECT 'balanced' AS strategy, block_hash, failure_count,
+                       access_count,
+                       failure_count * 1000
+                           + CAST(floor(floor((1705000000 - lv) / 3600.0)
+                                        / 24.0) AS BIGINT)
+                           + CAST(floor(access_count / 10.0) AS BIGINT)
+                           AS priority
+                FROM b
+                UNION ALL
+                SELECT 'by_age', block_hash, failure_count, access_count,
+                       CAST(floor((1705000000 - lv) / 3600.0) AS BIGINT)
+                FROM b),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY strategy
+                    ORDER BY priority DESC, block_hash ASC) AS rk
+                FROM pr)
+            SELECT strategy, block_hash, CAST(priority AS BIGINT) AS priority,
+                   CAST(failure_count AS BIGINT) AS failure_count,
+                   CAST(access_count AS BIGINT) AS access_count
+            FROM r WHERE rk <= 100
         """,
         "q74_routed_members": """
             WITH m AS (

@@ -1,0 +1,108 @@
+"""Integrity verification (chunk_validator.cpp / verifier.h) and
+magic-byte file-type detection (file_type_detector.cpp)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yams_spark.functions.filetype import detect_file_type, is_valid_utf8_text
+from yams_spark.operators.integrity import (
+    integrity_report,
+    validate_chunks,
+    verification_priority,
+    verification_schedule,
+)
+
+
+def test_validate_chunks_statuses(spark):
+    chunks = {"a": b"alpha", "b": b"beta", "c": b"gamma"}
+    man = spark.createDataFrame(
+        [("f1", hashlib.sha256(v).hexdigest(), i * 5, len(v))
+         for i, v in enumerate(chunks.values())],
+        "file_hash string, chunk_hash string, offset long, size long",
+    )
+    # store: 'a' intact, 'b' corrupted, 'c' missing
+    store = spark.createDataFrame(
+        [(hashlib.sha256(b"alpha").hexdigest(), bytearray(b"alpha")),
+         (hashlib.sha256(b"beta").hexdigest(), bytearray(b"betX"))],
+        "chunk_hash string, data binary",
+    )
+    got = {r["chunk_hash"]: r["status"]
+           for r in validate_chunks(man, store).collect()}
+    assert got[hashlib.sha256(b"alpha").hexdigest()] == "valid"
+    assert got[hashlib.sha256(b"beta").hexdigest()] == "corrupt"
+    assert got[hashlib.sha256(b"gamma").hexdigest()] == "missing"
+    rep = integrity_report(validate_chunks(man, store)).collect()[0]
+    assert (rep["blocks_verified"], rep["blocks_passed"],
+            rep["blocks_failed"], rep["blocks_missing"]) == (3, 1, 1, 1)
+    assert rep["success_rate"] == pytest.approx(1 / 3)
+    assert rep["error_rate"] == pytest.approx(2 / 3)
+    assert not rep["overall_success"]
+
+
+def test_verification_priority_formula(spark):
+    """verifier.h:95-99: failures*1000 + age_hours/24 + access/10,
+    integer floor arithmetic."""
+    now = 1_705_000_000
+    blocks = spark.createDataFrame(
+        [("h1", now - 49 * 3600, 2, 10, 25),  # age 49h -> 2 days
+         ("h2", now - 1 * 3600, 0, 99, 9)],
+        "block_hash string, last_verified_epoch long, failure_count int, "
+        "size long, access_count int",
+    )
+    got = {r["block_hash"]: r["priority"] for r in blocks.withColumn(
+        "priority", verification_priority(blocks, now)).collect()}
+    assert got["h1"] == 2 * 1000 + 49 // 24 + 25 // 10  # 2004
+    assert got["h2"] == 0 + 0 + 0
+    # single-factor strategies
+    by_size = verification_schedule(blocks, 1, now, "by_size").collect()[0]
+    assert by_size["block_hash"] == "h2"
+    by_age = verification_schedule(blocks, 1, now, "by_age").collect()[0]
+    assert by_age["block_hash"] == "h1"
+    with pytest.raises(ValueError, match="strategy"):
+        verification_schedule(blocks, 1, now, "nope")
+
+
+def test_detect_file_type_magic_and_fallbacks():
+    from yams_spark.functions.media_codecs import encode_ppm, encode_wav
+    from yams_spark.functions.mpeg_audio import encode_layer2
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert detect_file_type(encode_ppm(img))["mime"] == "image/x-portable-pixmap"
+    wav = encode_wav(np.zeros(64), rate=8000)
+    assert detect_file_type(wav) == {
+        "mime": "audio/wav", "file_type": "audio",
+        "confidence": 1.0, "method": "magic"}
+    t = np.arange(1152) / 44100.0
+    mp2 = encode_layer2(0.1 * np.sin(2 * np.pi * 440 * t), 44100, 192)
+    assert detect_file_type(mp2)["mime"] == "audio/mpeg"
+    from yams_spark.functions.mp4_meta import build_mp4
+
+    assert detect_file_type(build_mp4())["mime"] == "video/mp4"
+    # extension fallback, utf8 text, binary fallback
+    assert detect_file_type(b"", "x.json")["method"] == "extension"
+    assert detect_file_type("héllo wörld".encode())["mime"] == "text/plain"
+    got = detect_file_type(bytes([0, 1, 2, 3]))
+    assert got["mime"] == "application/octet-stream"
+    # utf8 validator: invalid continuation rejected, NUL rejected
+    assert not is_valid_utf8_text(b"\xc2\x20")
+    assert not is_valid_utf8_text(b"ab\x00cd")
+    assert is_valid_utf8_text("日本語テキスト".encode())
+
+
+def test_multimodal_infers_missing_mime(spark):
+    from yams_spark.functions.media_codecs import encode_ppm
+    from yams_spark.operators.multimodal import extract_media_features
+
+    img = (np.arange(48, dtype=np.int64) % 256).astype(np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [("x", "image", bytearray(encode_ppm(img)), None, 4, 4, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    row = extract_media_features(media).collect()[0]
+    assert row["decoded"] and row["mime"] == "image/x-portable-pixmap"

@@ -1,0 +1,145 @@
+"""Integrity verification: chunk validation against manifests + the
+verification scheduler — bit-rot detection as batch dataflow.
+
+Re-expresses the reference's integrity subsystem
+(``/root/reference/src/integrity/chunk_validator.cpp:31-140``
+``validateChunk``/``validateManifest``,
+``integrity_verifier.cpp``, ``verification_scheduler.cpp`` with the
+priority model of ``include/yams/integrity/verifier.h:87-105``) the
+Spark way: the reference walks one manifest at a time through a chunk
+provider callback; at 100 TB the same check is ONE equi-join of the
+manifest table against the chunk store with the hash recomputed
+JVM-side (``sha2``), so validation throughput is scan-bound and every
+store shard validates in parallel. Missing chunks fall out of the left
+join; per-file rollups reproduce ``ValidationReport`` /
+``IntegrityReport`` (success/error rates, verifier.h:71-82).
+
+The scheduler is a ranking, not a queue: the reference's max-heap
+priority ``failureCount·1000 + age_hours/24 + accessCount/10``
+(verifier.h:95-99, Balanced strategy; ByAge/BySize/ByFailures/ByAccess
+order by one factor) becomes an ``orderBy().limit(budget)`` —
+TakeOrderedAndProject, no global sort — so "verify the stalest N blocks
+this cycle" is the same bounded query at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: verifier.h:95-99 getPriority() constants
+PRIORITY_FAILURE_WEIGHT = 1000
+PRIORITY_AGE_DIVISOR_H = 24  # age in hours / 24 (i.e. days)
+PRIORITY_ACCESS_DIVISOR = 10
+
+SCHEDULING_STRATEGIES = ("by_age", "by_size", "by_failures", "by_access", "balanced")
+
+
+def validate_chunks(
+    manifests: DataFrame,
+    store: DataFrame,
+    hash_col: str = "chunk_hash",
+    data_col: str = "data",
+) -> DataFrame:
+    """manifests (file_hash, chunk_hash, offset, size) × store
+    (chunk_hash, data) → per-chunk validation rows
+    (chunk_validator.cpp:31-43, 54-140): status 'valid' when
+    sha256(data) matches the manifest hash, 'corrupt' on mismatch,
+    'missing' when the store has no row. One left join + a JVM-side
+    sha2 — no Python in the loop."""
+    st = store.select(
+        F.col(hash_col).alias("_expected"),
+        F.sha2(F.col(data_col).cast("binary"), 256).alias("_actual"),
+    )
+    return (
+        manifests.join(
+            st, manifests[hash_col] == st["_expected"], "left"
+        )
+        .select(
+            "file_hash",
+            hash_col,
+            "offset",
+            "size",
+            F.when(F.col("_actual").isNull(), F.lit("missing"))
+            .when(F.col("_actual") == F.col(hash_col), F.lit("valid"))
+            .otherwise(F.lit("corrupt"))
+            .alias("status"),
+        )
+    )
+
+
+def integrity_report(validated: DataFrame) -> DataFrame:
+    """Per-file rollup of ``validate_chunks`` output — the
+    ValidationReport / IntegrityReport counters and rates
+    (verifier.h:60-82: success = passed/verified, error =
+    (failed+missing)/verified; chunk_validator.cpp:141-170)."""
+    agg = validated.groupBy("file_hash").agg(
+        F.count("*").alias("blocks_verified"),
+        F.sum((F.col("status") == "valid").cast("long")).alias("blocks_passed"),
+        F.sum((F.col("status") == "corrupt").cast("long")).alias("blocks_failed"),
+        F.sum((F.col("status") == "missing").cast("long")).alias("blocks_missing"),
+        F.sum(F.col("size")).alias("total_bytes"),
+    )
+    return agg.select(
+        "file_hash",
+        "blocks_verified",
+        "blocks_passed",
+        "blocks_failed",
+        "blocks_missing",
+        "total_bytes",
+        (F.col("blocks_passed") / F.col("blocks_verified")).alias("success_rate"),
+        (
+            (F.col("blocks_failed") + F.col("blocks_missing"))
+            / F.col("blocks_verified")
+        ).alias("error_rate"),
+        (F.col("blocks_failed") + F.col("blocks_missing") == 0).alias(
+            "overall_success"
+        ),
+    )
+
+
+def verification_priority(
+    blocks: DataFrame,
+    now_epoch: int,
+    strategy: str = "balanced",
+):
+    """Priority column per verifier.h:95-99. blocks carry
+    (block_hash, last_verified_epoch, failure_count, size, access_count).
+    ``balanced`` is the reference's getPriority(); the single-factor
+    strategies order by their one factor (verifier.h SchedulingStrategy).
+    Integer arithmetic matches the C++ (floor divisions)."""
+    if strategy not in SCHEDULING_STRATEGIES:
+        raise ValueError(f"strategy must be one of {SCHEDULING_STRATEGIES}")
+    age_hours = F.floor(
+        (F.lit(now_epoch) - F.col("last_verified_epoch")) / 3600
+    ).cast("long")
+    if strategy == "by_age":
+        return age_hours
+    if strategy == "by_size":
+        return F.col("size").cast("long")
+    if strategy == "by_failures":
+        return F.col("failure_count").cast("long")
+    if strategy == "by_access":
+        return F.col("access_count").cast("long")
+    return (
+        F.col("failure_count").cast("long") * PRIORITY_FAILURE_WEIGHT
+        + F.floor(age_hours / PRIORITY_AGE_DIVISOR_H).cast("long")
+        + F.floor(F.col("access_count") / PRIORITY_ACCESS_DIVISOR).cast("long")
+    )
+
+
+def verification_schedule(
+    blocks: DataFrame,
+    budget: int,
+    now_epoch: int,
+    strategy: str = "balanced",
+) -> DataFrame:
+    """The scheduler's next verification cycle: top ``budget`` blocks by
+    priority (desc, hash asc tie-break) — the max-heap drain of
+    verification_scheduler.cpp as TakeOrderedAndProject."""
+    prio = verification_priority(blocks, now_epoch, strategy)
+    return (
+        blocks.withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col("block_hash").asc())
+        .limit(budget)
+    )

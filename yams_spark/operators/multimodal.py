@@ -60,6 +60,7 @@ def extract_media_features(
     ``decoded`` records which path ran."""
 
     def compute(iterator):
+        from yams_spark.functions.filetype import detect_file_type
         from yams_spark.functions.media_codecs import decode_features
 
         for pdf in iterator:
@@ -70,6 +71,11 @@ def extract_media_features(
                 data = bytes(payload) if payload is not None else b""
                 feat = None
                 decoded = False
+                if data and not mime:
+                    # magic-byte detection fills a missing mime (the
+                    # reference's FileTypeDetector front-door,
+                    # file_type_detector.cpp classification cascade)
+                    mime = detect_file_type(data)["mime"]
                 if data:
                     real = decode_features(data, mime or "")
                     if real is not None:
