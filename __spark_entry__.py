@@ -2597,10 +2597,11 @@ def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window covers the
-    newest, least-established entries (round-3/4 additions + every named
-    rows-only entry, which had never had a driver row before round 4);
-    long-stable trivial oracles (q01-q08 class, green since round 1)
-    rotate behind — they stay covered by tools/check_entry.py in CI."""
+    newest, least-established entries (round-5 additions first, then the
+    round-3/4 cohort and the named rows-only entries); stable oracles
+    that were driver-green in two consecutive windows rotate behind
+    (q51-q56 this round, q01-q42 earlier) — every entry stays covered by
+    the full tools/check_entry.py sweep committed as BENCH/SWEEP_rNN.txt."""
     return {
         # --- round-5 additions: newest first, inside the driver window
         "er_semantic_mini": er_semantic_mini,
