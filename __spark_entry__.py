@@ -1799,6 +1799,81 @@ def q75_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_integrity_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair pass over q75's failed chunks (repair_manager.cpp:116-170:
+    ordered strategies, each candidate verified by re-hashing before
+    acceptance): 'parity' (priority 0) supplies a CORRUPT decoy for the
+    00-prefix chunks — hash verification must reject it and the intact
+    'backup' (priority 1) wins; 'manifest' (priority 2) reconstructs the
+    01-prefix chunks; 02-corrupt and 04-missing have no candidate and
+    stay broken. Report = IntegrityReport with blocksRepaired and the
+    (passed+repaired)/verified success rate (verifier.h:71-75)."""
+    _ship_package(spark)
+    from yams_spark.operators.integrity import (
+        integrity_report_with_repairs,
+        repair_chunks,
+        validate_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select(
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("file_hash"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, least(3, cast(floor((length(text)-1)/64) as int))),"
+                " i -> substring(text, i*64+1, 64))"
+            )
+        ).alias("idx", "chunk"),
+    ).where(F.length("chunk") > 0)
+    manifests = ch.select(
+        "file_hash",
+        F.sha2(F.encode("chunk", "UTF-8"), 256).alias("chunk_hash"),
+        (F.col("idx") * 64).alias("offset"),
+        F.length("chunk").alias("size"),
+    )
+    uniq = ch.select(
+        F.sha2(F.encode("chunk", "UTF-8"), 256).alias("chunk_hash"), "chunk"
+    ).dropDuplicates(["chunk_hash"])
+    prefix = F.substring("chunk_hash", 1, 2)
+    store = uniq.where(~prefix.isin("03", "04")).select(
+        "chunk_hash",
+        F.when(
+            prefix.isin("00", "01", "02"),
+            F.concat(F.lit("X"), F.substring("chunk", 2, 1 << 20)),
+        ).otherwise(F.col("chunk")).alias("data"),
+    )
+    validated = validate_chunks(manifests, store)
+    # candidate strategies (lower priority tried first)
+    parity_decoy = uniq.where(prefix == "00").select(
+        "chunk_hash",
+        F.concat(F.lit("Y"), F.substring("chunk", 2, 1 << 20)).alias("data"),
+        F.lit("parity").alias("strategy"), F.lit(0).alias("priority"),
+    )
+    backup = uniq.where(prefix.isin("00", "03")).select(
+        "chunk_hash", F.col("chunk").alias("data"),
+        F.lit("backup").alias("strategy"), F.lit(1).alias("priority"),
+    )
+    manifest_rec = uniq.where(prefix == "01").select(
+        "chunk_hash", F.col("chunk").alias("data"),
+        F.lit("manifest").alias("strategy"), F.lit(2).alias("priority"),
+    )
+    source = parity_decoy.unionByName(backup).unionByName(manifest_rec)
+    repairs = repair_chunks(validated, source)
+    rep = integrity_report_with_repairs(validated, repairs)
+    return rep.select(
+        "file_hash",
+        "blocks_verified",
+        "blocks_passed",
+        "blocks_failed",
+        "blocks_missing",
+        "blocks_repaired",
+        "total_bytes",
+        F.round("success_rate", 6).cast("double").alias("success_rate"),
+        F.round("error_rate", 6).cast("double").alias("error_rate"),
+        "fully_repaired",
+    )
+
+
 def q76_verification_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verification scheduler (verifier.h:87-105 + the scheduler's
     max-heap drain): blocks with synthetic-but-deterministic
@@ -2612,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_semantic_mini_distcc": er_semantic_mini_distcc,
         "q75_integrity_report": q75_integrity_report,
         "q76_verification_schedule": q76_verification_schedule,
+        "q77_integrity_repair": q77_integrity_repair,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -2627,7 +2703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_mab_stats": q70_mab_stats,
         "q71_graph_vector": q71_graph_vector,
         "q72_entity_vector": q72_entity_vector,
-        "q57_phrase_bm25": q57_phrase_bm25,
         "q58_snippet_phrase": q58_snippet_phrase,
         "q43_kg_doc_entities": q43_kg_doc_entities,
         "q44_kg_node_stats": q44_kg_node_stats,
@@ -2665,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_minhash_estimate_dedup": q54_minhash_estimate_dedup,
         "q55_bpe_token_count": q55_bpe_token_count,
         "q56_lang_id_ngram": q56_lang_id_ngram,
+        "q57_phrase_bm25": q57_phrase_bm25,
         "q09_term_stats": q09_term_stats,
         "q11_bm25": q11_bm25,
         "q12_fusion_rrf": q12_fusion_rrf,
@@ -4565,6 +4641,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(p * 1.0 / v, 6) AS DOUBLE) AS success_rate,
                    CAST(ROUND((f + m) * 1.0 / v, 6) AS DOUBLE) AS error_rate,
                    (f + m = 0) AS overall_success
+            FROM agg
+        """,
+        "q77_integrity_repair": """
+            WITH ch AS (
+                SELECT sha256(text) AS file_hash, CAST(i AS INTEGER) AS idx,
+                       substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+                FROM (
+                    SELECT text,
+                           unnest(range(0, CAST(least(3,
+                               floor((length(text) - 1) / 64)) AS INTEGER) + 1))
+                               AS i
+                    FROM documents)
+                WHERE length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) > 0),
+            man AS (
+                SELECT file_hash, sha256(chunk) AS chunk_hash,
+                       length(chunk) AS size,
+                       substr(sha256(chunk), 1, 2) AS pre
+                FROM ch),
+            -- statuses by construction: 00/01/02 corrupt, 03/04 missing;
+            -- repairable: 00 (backup beats the parity decoy after hash
+            -- verification), 01 (manifest reconstruction), 03 (backup)
+            agg AS (
+                SELECT file_hash, COUNT(*) AS v,
+                       SUM(CASE WHEN pre IN ('00','01','02','03','04')
+                                THEN 0 ELSE 1 END) AS p,
+                       SUM(CASE WHEN pre IN ('00','01','02')
+                                THEN 1 ELSE 0 END) AS f,
+                       SUM(CASE WHEN pre IN ('03','04')
+                                THEN 1 ELSE 0 END) AS m,
+                       SUM(CASE WHEN pre IN ('00','01','03')
+                                THEN 1 ELSE 0 END) AS r,
+                       SUM(size) AS tb
+                FROM man GROUP BY file_hash)
+            SELECT file_hash,
+                   CAST(v AS BIGINT) AS blocks_verified,
+                   CAST(p AS BIGINT) AS blocks_passed,
+                   CAST(f AS BIGINT) AS blocks_failed,
+                   CAST(m AS BIGINT) AS blocks_missing,
+                   CAST(r AS BIGINT) AS blocks_repaired,
+                   CAST(tb AS BIGINT) AS total_bytes,
+                   CAST(ROUND((p + r) * 1.0 / v, 6) AS DOUBLE) AS success_rate,
+                   CAST(ROUND((f + m) * 1.0 / v, 6) AS DOUBLE) AS error_rate,
+                   (f + m = r) AS fully_repaired
             FROM agg
         """,
         "q76_verification_schedule": """

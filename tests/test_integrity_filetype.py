@@ -106,3 +106,50 @@ def test_multimodal_infers_missing_mime(spark):
     )
     row = extract_media_features(media).collect()[0]
     assert row["decoded"] and row["mime"] == "image/x-portable-pixmap"
+
+
+def test_repair_chunks_verifies_candidates_and_orders_strategies(spark):
+    """repair_manager.cpp:116-170: candidates are accepted only if they
+    hash back to the expected block; the lowest-priority verifying
+    strategy wins; chunks without a verifying candidate stay broken."""
+    from yams_spark.operators.integrity import (
+        integrity_report_with_repairs,
+        repair_chunks,
+    )
+
+    h = lambda b: hashlib.sha256(b).hexdigest()
+    man = spark.createDataFrame(
+        [("f", h(b"alpha"), 0, 5), ("f", h(b"beta"), 5, 4),
+         ("f", h(b"gamma"), 9, 5)],
+        "file_hash string, chunk_hash string, offset long, size long",
+    )
+    store = spark.createDataFrame(
+        [(h(b"alpha"), bytearray(b"ALPHA"))],  # corrupt; beta/gamma missing
+        "chunk_hash string, data binary",
+    )
+    from yams_spark.operators.integrity import validate_chunks
+
+    validated = validate_chunks(man, store)
+    source = spark.createDataFrame(
+        [
+            # decoy for alpha (priority 0, wrong bytes) must be REJECTED
+            (h(b"alpha"), bytearray(b"nope!"), "parity", 0),
+            (h(b"alpha"), bytearray(b"alpha"), "backup", 1),
+            # two verifying candidates for beta: lower priority wins
+            (h(b"beta"), bytearray(b"beta"), "manifest", 2),
+            (h(b"beta"), bytearray(b"beta"), "backup", 1),
+            # no candidate for gamma
+        ],
+        "chunk_hash string, data binary, strategy string, priority int",
+    )
+    got = {r["chunk_hash"]: r for r in
+           repair_chunks(validated, source).collect()}
+    assert got[h(b"alpha")]["repaired"]
+    assert got[h(b"alpha")]["repair_strategy"] == "backup"  # decoy rejected
+    assert got[h(b"beta")]["repair_strategy"] == "backup"  # priority order
+    assert not got[h(b"gamma")]["repaired"]
+    rep = integrity_report_with_repairs(
+        validated, repair_chunks(validated, source)).collect()[0]
+    assert (rep["blocks_repaired"], rep["blocks_passed"]) == (2, 0)
+    assert rep["success_rate"] == pytest.approx(2 / 3)
+    assert not rep["fully_repaired"]

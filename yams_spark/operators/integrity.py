@@ -98,6 +98,98 @@ def integrity_report(validated: DataFrame) -> DataFrame:
     )
 
 
+def repair_chunks(
+    validated: DataFrame,
+    repair_source: DataFrame,
+    hash_col: str = "chunk_hash",
+    data_col: str = "data",
+) -> DataFrame:
+    """Repair attempt for every failed chunk (repair_manager.cpp:116-170
+    ``attemptRepair``: try strategies in order — backup / P2P / parity /
+    manifest reconstruction — and accept a candidate only if it hashes
+    back to the expected block). ``repair_source`` is the ordered union
+    of those strategies' candidate tables, (chunk_hash, data, strategy,
+    priority) with LOWER priority tried first.
+
+    Returns one row per failed chunk: (file_hash, chunk_hash, offset,
+    size, status, repaired boolean, repair_strategy) — repaired=true only
+    when some candidate's sha256 equals the expected hash, keeping the
+    best (lowest-priority) verifying candidate. All verification is one
+    join + JVM-side sha2; no per-chunk callbacks."""
+    failed = validated.where(F.col("status") != "valid")
+    cand = repair_source.select(
+        F.col(hash_col).alias("_rhash"),
+        F.sha2(F.col(data_col).cast("binary"), 256).alias("_ractual"),
+        F.col("strategy").alias("_rstrategy"),
+        F.col("priority").alias("_rpriority"),
+    )
+    joined = failed.join(
+        cand,
+        (failed[hash_col] == cand["_rhash"])
+        & (cand["_ractual"] == failed[hash_col]),
+        "left",
+    )
+    best = (
+        joined.groupBy("file_hash", hash_col, "offset", "size", "status")
+        .agg(
+            F.min(
+                # unmatched left rows must stay NULL (min skips nulls);
+                # a bare struct(null, null) would win the min instead
+                F.when(
+                    F.col("_rhash").isNotNull(),
+                    F.struct("_rpriority", "_rstrategy"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            "file_hash",
+            hash_col,
+            "offset",
+            "size",
+            "status",
+            F.col("_best").isNotNull().alias("repaired"),
+            F.col("_best._rstrategy").alias("repair_strategy"),
+        )
+    )
+    return best
+
+
+def integrity_report_with_repairs(
+    validated: DataFrame, repairs: DataFrame
+) -> DataFrame:
+    """Per-file IntegrityReport including ``blocksRepaired`` — success
+    rate counts repaired blocks as good, exactly verifier.h:71-75:
+    (passed + repaired) / verified."""
+    rep = repairs.groupBy("file_hash").agg(
+        F.sum(F.col("repaired").cast("long")).alias("blocks_repaired")
+    )
+    base = integrity_report(validated).drop("success_rate", "overall_success")
+    return (
+        base.join(rep, "file_hash", "left")
+        .withColumn(
+            "blocks_repaired", F.coalesce(F.col("blocks_repaired"), F.lit(0))
+        )
+        .select(
+            "file_hash",
+            "blocks_verified",
+            "blocks_passed",
+            "blocks_failed",
+            "blocks_missing",
+            "blocks_repaired",
+            "total_bytes",
+            (
+                (F.col("blocks_passed") + F.col("blocks_repaired"))
+                / F.col("blocks_verified")
+            ).alias("success_rate"),
+            "error_rate",
+            (
+                F.col("blocks_failed") + F.col("blocks_missing")
+                == F.col("blocks_repaired")
+            ).alias("fully_repaired"),
+        )
+    )
+
+
 def verification_priority(
     blocks: DataFrame,
     now_epoch: int,
