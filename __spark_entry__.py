@@ -1874,6 +1874,47 @@ def q77_integrity_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_verification_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification monitor (verification_monitor.cpp: 60 s RateTracker
+    windows, shouldAlert = activity ≥ 1/s AND error ratio > 0.1): the
+    events table plays the verification event stream — status from the
+    value sign, repairs from event_type — tumbling event-time windows,
+    per-window rates, and the alert predicate."""
+    _ship_package(spark)
+    from yams_spark.operators.integrity import monitor_metrics
+
+    e = _t(spark, sf_dir, "events")
+    # compress the month-long event table 600:1 so windows carry the >=1/s
+    # activity the reference's gate requires; per-window error ratios then
+    # straddle the 0.1 threshold and BOTH alert branches fire
+    ev = e.select(
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.floor(F.unix_timestamp("ts") / 600).cast("long")
+        ).alias("ts"),
+        F.when(F.col("value") < 6.0, F.lit("corrupt"))
+        .otherwise(F.lit("valid"))
+        .alias("status"),
+        F.when(
+            F.col("event_type") == "click", F.col("value") < 30.0
+        ).otherwise(F.lit(None).cast("boolean")).alias("repaired"),
+    )
+    m = monitor_metrics(ev, window_sec=60, error_rate_threshold=0.1)
+    return m.select(
+        "window_start",
+        "total_verifications",
+        "total_errors",
+        "repair_attempts",
+        "successful_repairs",
+        F.round("verifications_per_sec", 6).cast("double").alias(
+            "verifications_per_sec"
+        ),
+        F.round("errors_per_sec", 6).cast("double").alias("errors_per_sec"),
+        F.round("error_rate", 6).cast("double").alias("error_rate"),
+        "should_alert",
+    )
+
+
 def q76_verification_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verification scheduler (verifier.h:87-105 + the scheduler's
     max-heap drain): blocks with synthetic-but-deterministic
@@ -2688,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_integrity_report": q75_integrity_report,
         "q76_verification_schedule": q76_verification_schedule,
         "q77_integrity_repair": q77_integrity_repair,
+        "q78_verification_monitor": q78_verification_monitor,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -2703,7 +2745,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_mab_stats": q70_mab_stats,
         "q71_graph_vector": q71_graph_vector,
         "q72_entity_vector": q72_entity_vector,
-        "q58_snippet_phrase": q58_snippet_phrase,
         "q43_kg_doc_entities": q43_kg_doc_entities,
         "q44_kg_node_stats": q44_kg_node_stats,
         "q45_kg_aliases": q45_kg_aliases,
@@ -2741,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_bpe_token_count": q55_bpe_token_count,
         "q56_lang_id_ngram": q56_lang_id_ngram,
         "q57_phrase_bm25": q57_phrase_bm25,
+        "q58_snippet_phrase": q58_snippet_phrase,
         "q09_term_stats": q09_term_stats,
         "q11_bm25": q11_bm25,
         "q12_fusion_rrf": q12_fusion_rrf,
@@ -4684,6 +4726,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((p + r) * 1.0 / v, 6) AS DOUBLE) AS success_rate,
                    CAST(ROUND((f + m) * 1.0 / v, 6) AS DOUBLE) AS error_rate,
                    (f + m = r) AS fully_repaired
+            FROM agg
+        """,
+        "q78_verification_monitor": """
+            WITH ev AS (
+                SELECT 1704067200
+                           + CAST(floor(epoch(ts) / 600) AS BIGINT) AS sec,
+                       CASE WHEN value < 6.0 THEN 'corrupt'
+                            ELSE 'valid' END AS status,
+                       CASE WHEN event_type = 'click' THEN value < 30.0
+                            ELSE NULL END AS repaired
+                FROM events),
+            agg AS (
+                SELECT sec - sec % 60 AS wsec,
+                       COUNT(*) AS total_verifications,
+                       SUM(CASE WHEN status <> 'valid' THEN 1 ELSE 0 END)
+                           AS total_errors,
+                       SUM(CASE WHEN repaired IS NOT NULL THEN 1 ELSE 0 END)
+                           AS repair_attempts,
+                       SUM(CASE WHEN repaired THEN 1 ELSE 0 END)
+                           AS successful_repairs
+                FROM ev GROUP BY sec - sec % 60)
+            SELECT make_timestamp(wsec * 1000000) AS window_start,
+                   CAST(total_verifications AS BIGINT) AS total_verifications,
+                   CAST(total_errors AS BIGINT) AS total_errors,
+                   CAST(repair_attempts AS BIGINT) AS repair_attempts,
+                   CAST(successful_repairs AS BIGINT) AS successful_repairs,
+                   CAST(ROUND(total_verifications / 60.0, 6) AS DOUBLE)
+                       AS verifications_per_sec,
+                   CAST(ROUND(total_errors / 60.0, 6) AS DOUBLE)
+                       AS errors_per_sec,
+                   CAST(ROUND(CASE WHEN total_verifications > 0
+                        THEN total_errors * 1.0 / total_verifications
+                        ELSE 0.0 END, 6) AS DOUBLE) AS error_rate,
+                   (total_verifications / 60.0 >= 1.0
+                    AND (CASE WHEN total_verifications > 0
+                         THEN total_errors * 1.0 / total_verifications
+                         ELSE 0.0 END) > 0.1) AS should_alert
             FROM agg
         """,
         "q76_verification_schedule": """

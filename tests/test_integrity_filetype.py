@@ -153,3 +153,40 @@ def test_repair_chunks_verifies_candidates_and_orders_strategies(spark):
     assert (rep["blocks_repaired"], rep["blocks_passed"]) == (2, 0)
     assert rep["success_rate"] == pytest.approx(2 / 3)
     assert not rep["fully_repaired"]
+
+
+def test_monitor_metrics_windows_and_alert_gate(spark):
+    """verification_monitor.cpp: tumbling windows, per-second rates, and
+    the two-part alert gate (activity >= 1/s AND ratio > threshold)."""
+    from datetime import datetime, timezone
+
+    from yams_spark.operators.integrity import monitor_metrics
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def ev(sec, status, repaired=None):
+        return (datetime.fromtimestamp(base.timestamp() + sec, timezone.utc),
+                status, repaired)
+
+    rows = (
+        # window 0: 70 valid + 10 corrupt -> vps>1, ratio 0.125 -> ALERT
+        [ev(i % 60, "valid") for i in range(70)]
+        + [ev(i, "corrupt") for i in range(10)]
+        # window 1: 80 valid + 2 corrupt -> ratio 0.0244 -> no alert
+        + [ev(60 + i % 60, "valid") for i in range(80)]
+        + [ev(61, "corrupt"), ev(62, "corrupt", True)]
+        # window 2: sparse (activity gate blocks the alert despite ratio 1.0)
+        + [ev(120, "corrupt"), ev(121, "corrupt", False)]
+    )
+    events = spark.createDataFrame(
+        rows, "ts timestamp, status string, repaired boolean"
+    )
+    got = {r["window_start"].second + r["window_start"].minute * 60: r
+           for r in monitor_metrics(events, 60, 0.1).collect()}
+    w0, w1, w2 = got[0], got[60], got[120]
+    assert (w0["total_verifications"], w0["total_errors"]) == (80, 10)
+    assert w0["should_alert"] and w0["error_rate"] == pytest.approx(0.125)
+    assert not w1["should_alert"] and w1["repair_attempts"] == 1
+    assert w1["successful_repairs"] == 1
+    assert w2["error_rate"] == pytest.approx(1.0) and not w2["should_alert"]
+    assert w2["repair_attempts"] == 1 and w2["successful_repairs"] == 0

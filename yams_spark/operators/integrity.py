@@ -190,6 +190,51 @@ def integrity_report_with_repairs(
     )
 
 
+def monitor_metrics(
+    events: DataFrame,
+    window_sec: int = 60,
+    error_rate_threshold: float = 0.1,
+) -> DataFrame:
+    """Verification monitor (verification_monitor.cpp: RateTracker 60 s
+    windows + shouldAlert): events (ts timestamp, status, repaired
+    boolean nullable) → per-window metrics. Alert fires only with
+    sufficient activity (verifications/s ≥ 1, :160-166) and when the
+    error ratio exceeds the threshold (default 0.1, :103). The
+    reference's in-memory deque is a tumbling event-time window here —
+    the same aggregation works as a Structured Streaming sink."""
+    w = F.window("ts", f"{window_sec} seconds")
+    agg = events.groupBy(w.alias("w")).agg(
+        F.count("*").alias("total_verifications"),
+        F.sum((F.col("status") != "valid").cast("long")).alias("total_errors"),
+        F.sum(F.col("repaired").isNotNull().cast("long")).alias(
+            "repair_attempts"
+        ),
+        F.sum(F.coalesce(F.col("repaired"), F.lit(False)).cast("long")).alias(
+            "successful_repairs"
+        ),
+    )
+    vps = F.col("total_verifications") / F.lit(float(window_sec))
+    eps = F.col("total_errors") / F.lit(float(window_sec))
+    # the reference divides the two RATES; over one shared window that is
+    # exactly the count ratio — computed as counts here so the value (and
+    # the threshold comparison) doesn't pick up an extra rounding step
+    ratio = F.when(
+        F.col("total_verifications") > 0,
+        F.col("total_errors") / F.col("total_verifications"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "total_verifications",
+        "total_errors",
+        "repair_attempts",
+        "successful_repairs",
+        vps.alias("verifications_per_sec"),
+        eps.alias("errors_per_sec"),
+        ratio.alias("error_rate"),
+        ((vps >= 1.0) & (ratio > error_rate_threshold)).alias("should_alert"),
+    )
+
+
 def verification_priority(
     blocks: DataFrame,
     now_epoch: int,
