@@ -1954,6 +1954,162 @@ def q76_verification_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: storage-GC synthetic snapshot constants (q79-q81): "now" is ~2.3 days
+#: past the timestamp base so candidate ages straddle the min-age gate
+_GC_NOW = 1704067200 + 200000
+_GC_MIN_AGE = 100000
+_GC_LIMIT = 150
+
+
+def _gc_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared block_references snapshot for the storage-GC entries
+    (reference_counter.cpp:251-262): documents chunk into 64-char blocks
+    (the q75 manifest derivation); docs with doc_id % 7 == 0 are
+    'deleted' so manifests drop their rows while the store keeps the
+    blocks — exclusive blocks fall to ref_count 0, the GC population.
+    Sizes/timestamps derive from the block HASH alone, so blocks shared
+    across documents stay engine-independent."""
+    _ship_package(spark)
+    from yams_spark.operators.storage_gc import build_block_references
+
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, least(3, cast(floor((length(text)-1)/64) as int))),"
+                " i -> substring(text, i*64+1, 64))"
+            )
+        ).alias("chunk"),
+    ).where(F.length("chunk") > 0)
+    blocks = ch.select(
+        "doc_id",
+        F.sha2(F.encode("chunk", "UTF-8"), 256).alias("block_hash"),
+        F.length("chunk").cast("long").alias("block_size"),
+    )
+    manifests = blocks.where(F.col("doc_id") % 7 != 0).select("block_hash")
+    store = (
+        blocks.dropDuplicates(["block_hash"])
+        .select("block_hash", "block_size")
+        .withColumn(
+            "uncompressed_size",
+            F.col("block_size")
+            + (F.ascii(F.substring("block_hash", 4, 1)) % 7) * 16,
+        )
+        .withColumn(
+            "created_at",
+            F.lit(1704067200)
+            + (
+                F.ascii(F.substring("block_hash", 1, 1)) * 13
+                + F.ascii(F.substring("block_hash", 2, 1))
+            )
+            * 97,
+        )
+        .withColumn(
+            "last_accessed",
+            F.col("created_at")
+            + F.ascii(F.substring("block_hash", 3, 1)) * 41,
+        )
+    )
+    return build_block_references(store, manifests)
+
+
+def q79_block_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-health rollup — the block_statistics view
+    (reference_counter.cpp:340-350) over the derived block_references
+    snapshot: ONE map-side-combined aggregation at any store size."""
+    from yams_spark.operators.storage_gc import block_statistics
+
+    s = block_statistics(_gc_refs(spark, sf_dir))
+    return s.select(
+        "total_blocks",
+        "total_references",
+        "total_bytes",
+        "unreferenced_blocks",
+        "unreferenced_bytes",
+        F.round("avg_ref_count", 6).cast("double").alias("avg_ref_count"),
+        "max_ref_count",
+    )
+
+
+def q80_gc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getUnreferencedBlocks(limit, minAge)
+    (reference_counter.cpp:549-556): zero-ref blocks past the min-age
+    gate, oldest-accessed first (hash tie-break), capped at the per-run
+    budget — TakeOrderedAndProject, no global sort."""
+    from yams_spark.operators.storage_gc import gc_candidates
+
+    c = gc_candidates(
+        _gc_refs(spark, sf_dir), _GC_NOW, _GC_MIN_AGE, _GC_LIMIT
+    )
+    return c.select(
+        "block_hash",
+        "block_size",
+        "created_at",
+        "last_accessed",
+        F.col("age_seconds").cast("long").alias("age_seconds"),
+    )
+
+
+def q81_gc_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One GC run (garbage_collector.cpp:116-196): GCStats + the
+    recordCollectionStatistics counter deltas (:32-41) + the post-run
+    store state (anti-join survivors) as a single evidence row."""
+    from yams_spark.operators.storage_gc import block_statistics, gc_collect
+
+    refs = _gc_refs(spark, sf_dir)
+    stats, surv = gc_collect(refs, _GC_NOW, _GC_MIN_AGE, _GC_LIMIT)
+    sstat = block_statistics(surv).select(
+        F.col("total_blocks").alias("surviving_blocks"),
+        F.col("total_bytes").alias("surviving_bytes"),
+        F.col("unreferenced_blocks").alias("surviving_unreferenced"),
+    )
+    return stats.crossJoin(sstat)
+
+
+def q82_transaction_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transaction_history view (reference_counter.cpp:353-366):
+    per-transaction op counts and increment/decrement delta totals via
+    a left join — the events table plays ref_transaction_ops (txn id
+    from the user, op direction from the event type, delta 1-3), plus
+    five op-less PENDING transactions exercising the view's zero-count
+    branch."""
+    _ship_package(spark)
+    from yams_spark.operators.storage_gc import transaction_history
+
+    e = _t(spark, sf_dir, "events")
+    ops = e.select(
+        (F.col("user_id") % 200).alias("transaction_id"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("INCREMENT"))
+        .otherwise(F.lit("DECREMENT"))
+        .alias("operation"),
+        (F.lit(1) + F.col("event_id") % 3).alias("delta"),
+        F.unix_timestamp("ts").alias("op_ts"),
+    )
+    done = ops.groupBy("transaction_id").agg(
+        (F.min("op_ts") - 1).alias("start_timestamp"),
+        F.max("op_ts").alias("_max_ts"),
+    )
+    state = F.when(
+        F.col("transaction_id") % 10 == 9, F.lit("ROLLED_BACK")
+    ).otherwise(F.lit("COMMITTED"))
+    txns = done.select(
+        "transaction_id",
+        "start_timestamp",
+        F.when(state == "COMMITTED", F.col("_max_ts") + 1).alias(
+            "commit_timestamp"
+        ),
+        state.alias("state"),
+    )
+    pending = spark.range(5).select(
+        (F.col("id") + 9000).alias("transaction_id"),
+        (F.lit(1704067200) + F.col("id")).alias("start_timestamp"),
+        F.lit(None).cast("long").alias("commit_timestamp"),
+        F.lit("PENDING").alias("state"),
+    )
+    return transaction_history(txns.unionByName(pending), ops)
+
+
 #: q69 synthetic query per document — identical SQL for Spark and DuckDB
 #: (concat/substring/CASE agree); exercises every routing branch
 _Q69_SYNTH = """
@@ -2730,6 +2886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_verification_schedule": q76_verification_schedule,
         "q77_integrity_repair": q77_integrity_repair,
         "q78_verification_monitor": q78_verification_monitor,
+        "q79_block_statistics": q79_block_statistics,
+        "q80_gc_candidates": q80_gc_candidates,
+        "q81_gc_collect": q81_gc_collect,
+        "q82_transaction_history": q82_transaction_history,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -4764,6 +4924,176 @@ def oracle_sql() -> dict[str, str]:
                          THEN total_errors * 1.0 / total_verifications
                          ELSE 0.0 END) > 0.1) AS should_alert
             FROM agg
+        """,
+        "q79_block_statistics": """
+            WITH ch AS (
+                SELECT doc_id, substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(0, CAST(least(3,
+                               floor((length(text) - 1) / 64)) AS INTEGER) + 1))
+                               AS i
+                    FROM documents)
+                WHERE length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) > 0),
+            blocks AS (
+                SELECT doc_id, sha256(chunk) AS block_hash,
+                       CAST(length(chunk) AS BIGINT) AS block_size
+                FROM ch),
+            store AS (
+                SELECT block_hash, block_size,
+                       1704067200 + (ascii(substr(block_hash, 1, 1)) * 13
+                           + ascii(substr(block_hash, 2, 1))) * 97 AS created_at
+                FROM (SELECT DISTINCT block_hash, block_size FROM blocks)),
+            refs AS (
+                SELECT s.block_hash, CAST(COALESCE(c.n, 0) AS BIGINT) AS ref_count,
+                       s.block_size
+                FROM store s
+                LEFT JOIN (SELECT block_hash, COUNT(*) AS n FROM blocks
+                           WHERE doc_id % 7 <> 0 GROUP BY block_hash) c
+                    USING (block_hash))
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_blocks,
+                   CAST(SUM(ref_count) AS BIGINT) AS total_references,
+                   CAST(SUM(block_size) AS BIGINT) AS total_bytes,
+                   CAST(SUM(CASE WHEN ref_count = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS unreferenced_blocks,
+                   CAST(SUM(CASE WHEN ref_count = 0 THEN block_size ELSE 0 END)
+                        AS BIGINT) AS unreferenced_bytes,
+                   CAST(ROUND(AVG(ref_count), 6) AS DOUBLE) AS avg_ref_count,
+                   CAST(MAX(ref_count) AS BIGINT) AS max_ref_count
+            FROM refs
+        """,
+        "q80_gc_candidates": """
+            WITH ch AS (
+                SELECT doc_id, substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(0, CAST(least(3,
+                               floor((length(text) - 1) / 64)) AS INTEGER) + 1))
+                               AS i
+                    FROM documents)
+                WHERE length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) > 0),
+            blocks AS (
+                SELECT doc_id, sha256(chunk) AS block_hash,
+                       CAST(length(chunk) AS BIGINT) AS block_size
+                FROM ch),
+            store AS (
+                SELECT block_hash, block_size,
+                       CAST(1704067200 + (ascii(substr(block_hash, 1, 1)) * 13
+                           + ascii(substr(block_hash, 2, 1))) * 97 AS BIGINT)
+                           AS created_at
+                FROM (SELECT DISTINCT block_hash, block_size FROM blocks)),
+            refs AS (
+                SELECT s.block_hash, CAST(COALESCE(c.n, 0) AS BIGINT) AS ref_count,
+                       s.block_size, s.created_at,
+                       CAST(s.created_at
+                           + ascii(substr(s.block_hash, 3, 1)) * 41 AS BIGINT)
+                           AS last_accessed
+                FROM store s
+                LEFT JOIN (SELECT block_hash, COUNT(*) AS n FROM blocks
+                           WHERE doc_id % 7 <> 0 GROUP BY block_hash) c
+                    USING (block_hash))
+            SELECT block_hash, block_size, created_at, last_accessed,
+                   CAST(1704267200 - last_accessed AS BIGINT) AS age_seconds
+            FROM refs
+            WHERE ref_count = 0 AND 1704267200 - last_accessed >= 100000
+            ORDER BY last_accessed ASC, block_hash ASC
+            LIMIT 150
+        """,
+        "q81_gc_collect": """
+            WITH ch AS (
+                SELECT doc_id, substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(0, CAST(least(3,
+                               floor((length(text) - 1) / 64)) AS INTEGER) + 1))
+                               AS i
+                    FROM documents)
+                WHERE length(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) > 0),
+            blocks AS (
+                SELECT doc_id, sha256(chunk) AS block_hash,
+                       CAST(length(chunk) AS BIGINT) AS block_size
+                FROM ch),
+            store AS (
+                SELECT block_hash, block_size,
+                       1704067200 + (ascii(substr(block_hash, 1, 1)) * 13
+                           + ascii(substr(block_hash, 2, 1))) * 97 AS created_at
+                FROM (SELECT DISTINCT block_hash, block_size FROM blocks)),
+            refs AS (
+                SELECT s.block_hash, CAST(COALESCE(c.n, 0) AS BIGINT) AS ref_count,
+                       s.block_size,
+                       s.created_at + ascii(substr(s.block_hash, 3, 1)) * 41
+                           AS last_accessed
+                FROM store s
+                LEFT JOIN (SELECT block_hash, COUNT(*) AS n FROM blocks
+                           WHERE doc_id % 7 <> 0 GROUP BY block_hash) c
+                    USING (block_hash)),
+            cand AS (
+                SELECT block_hash, block_size FROM refs
+                WHERE ref_count = 0 AND 1704267200 - last_accessed >= 100000
+                ORDER BY last_accessed ASC, block_hash ASC
+                LIMIT 150),
+            gstat AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS blocks_scanned,
+                       CAST(COUNT(*) AS BIGINT) AS blocks_deleted,
+                       CAST(COALESCE(SUM(block_size), 0) AS BIGINT)
+                           AS bytes_reclaimed
+                FROM cand),
+            surv AS (
+                SELECT * FROM refs
+                WHERE block_hash NOT IN (SELECT block_hash FROM cand))
+            SELECT g.blocks_scanned, g.blocks_deleted, g.bytes_reclaimed,
+                   CAST(CASE WHEN g.blocks_deleted > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS gc_runs,
+                   g.blocks_deleted AS gc_blocks_collected,
+                   g.bytes_reclaimed AS gc_bytes_reclaimed,
+                   s.surviving_blocks, s.surviving_bytes,
+                   s.surviving_unreferenced
+            FROM gstat g CROSS JOIN (
+                SELECT CAST(COUNT(*) AS BIGINT) AS surviving_blocks,
+                       CAST(SUM(block_size) AS BIGINT) AS surviving_bytes,
+                       CAST(SUM(CASE WHEN ref_count = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS surviving_unreferenced
+                FROM surv) s
+        """,
+        "q82_transaction_history": """
+            WITH ops AS (
+                SELECT user_id % 200 AS transaction_id,
+                       CASE WHEN event_type IN ('click', 'view')
+                            THEN 'INCREMENT' ELSE 'DECREMENT' END AS operation,
+                       1 + event_id % 3 AS delta,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS op_ts
+                FROM events),
+            done AS (
+                SELECT transaction_id, MIN(op_ts) - 1 AS start_timestamp,
+                       MAX(op_ts) AS max_ts
+                FROM ops GROUP BY transaction_id),
+            txns AS (
+                SELECT transaction_id, start_timestamp,
+                       CASE WHEN transaction_id % 10 = 9 THEN NULL
+                            ELSE max_ts + 1 END AS commit_timestamp,
+                       CASE WHEN transaction_id % 10 = 9 THEN 'ROLLED_BACK'
+                            ELSE 'COMMITTED' END AS state
+                FROM done
+                UNION ALL
+                SELECT 9000 + i, 1704067200 + i, NULL, 'PENDING'
+                FROM (SELECT unnest(range(0, 5)) AS i)),
+            agg AS (
+                SELECT transaction_id, COUNT(*) AS operation_count,
+                       SUM(CASE WHEN operation = 'INCREMENT' THEN delta
+                                ELSE 0 END) AS increments,
+                       SUM(CASE WHEN operation = 'DECREMENT' THEN delta
+                                ELSE 0 END) AS decrements
+                FROM ops GROUP BY transaction_id)
+            SELECT CAST(t.transaction_id AS BIGINT) AS transaction_id,
+                   CAST(t.start_timestamp AS BIGINT) AS start_timestamp,
+                   CAST(t.commit_timestamp AS BIGINT) AS commit_timestamp,
+                   t.state,
+                   CAST(COALESCE(a.operation_count, 0) AS BIGINT)
+                       AS operation_count,
+                   CAST(COALESCE(a.increments, 0) AS BIGINT) AS increments,
+                   CAST(COALESCE(a.decrements, 0) AS BIGINT) AS decrements
+            FROM txns t LEFT JOIN agg a USING (transaction_id)
+            ORDER BY start_timestamp DESC, transaction_id DESC
         """,
         "q76_verification_schedule": """
             WITH b AS (
