@@ -2110,6 +2110,151 @@ def q82_transaction_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transaction_history(txns.unionByName(pending), ops)
 
 
+def q83_kg_relation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file KG relation summary (kg_relation_summary.cpp:126-221)
+    for EVERY file in one plan: node-key variant expansion (:19-77),
+    bidirectional edge fetch with id / synthetic-key dedup (:166-188),
+    relation-name normalization + alias map (:81-124), count-desc /
+    name-asc top-N (:204-215). The synthetic KG derives from documents
+    arithmetically (portable across engines): node existence and edge
+    relations keyed off doc_id/hash so resolution-miss, synthetic-id and
+    duplicate-edge branches all fire."""
+    _ship_package(spark)
+    from yams_spark.operators.kg_summary import file_relation_summaries
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.sha2(F.encode("text", "UTF-8"), 256), 1, 8).alias("h8"),
+    )
+    i = F.col("doc_id")
+    p = F.concat(F.lit("corpus/"), i.cast("string"))
+    path = (
+        F.when(i % 3 == 0, F.concat(F.lit("path:file:"), p))
+        .when(i % 3 == 1, F.concat(F.lit("file:"), p))
+        .otherwise(p)
+    )
+    hsh = (
+        F.when(i % 4 == 0, F.concat(F.lit("doc:"), F.col("h8")))
+        .when(i % 4 == 1, F.concat(F.lit("blob:"), F.col("h8")))
+        .when(i % 4 == 2, F.col("h8"))
+    )  # doc_id % 4 == 3 -> NULL hash (path keys only)
+    files = d.select(i.alias("file_id"), path.alias("path"), hsh.alias("hash"))
+    nodes = (
+        d.where(i % 2 == 0)
+        .select((i * 4).alias("node_id"), F.concat(F.lit("path:file:"), p).alias("node_key"))
+        .unionByName(
+            d.where(i % 3 == 0).select(
+                (i * 4 + 1).alias("node_id"),
+                F.concat(F.lit("file:"), p).alias("node_key"),
+            )
+        )
+        .unionByName(
+            d.where(i % 4 < 2).select(
+                (i * 4 + 2).alias("node_id"),
+                F.concat(F.lit("doc:"), F.col("h8")).alias("node_key"),
+            )
+        )
+        .unionByName(
+            d.where(i % 5 < 2).select(
+                (i * 4 + 3).alias("node_id"),
+                F.concat(F.lit("blob:"), F.col("h8")).alias("node_key"),
+            )
+        )
+    )
+    ek = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"))
+    m8 = (F.col("doc_id") + F.col("k")) % 8
+    rel = (
+        F.when(m8 == 0, F.lit(" Call"))
+        .when(m8 == 1, F.lit("include"))
+        .when(m8 == 2, F.lit("REFERENCE"))
+        .when(m8 == 3, F.lit("rename-to"))
+        .when(m8 == 4, F.lit("Blob Version"))
+        .when(m8 == 5, F.lit("links to"))
+        .when(m8 == 6, F.lit("  "))  # whitespace-only -> dropped
+        .otherwise(F.lit("Imports"))
+    )
+    e0 = ek.select(
+        "k",
+        (F.col("doc_id") * 4 + F.col("k") % 4).alias("src_node_id"),
+        (((F.col("doc_id") + F.col("k")) % 997) * 4).alias("dst_node_id"),
+        F.when(F.col("k") % 3 == 2, F.lit(0))
+        .otherwise(F.col("doc_id") * 16 + F.col("k"))
+        .alias("edge_id"),
+        rel.alias("relation"),
+    )
+    edges = e0.unionByName(e0.where(F.col("k").isin(1, 2))).drop("k")
+    out = file_relation_summaries(files, nodes, edges, top_limit=3)
+    return out.select(
+        "file_id",
+        "relation",
+        F.col("rel_count").cast("long").alias("rel_count"),
+        F.col("total_edges").cast("long").alias("total_edges"),
+        F.col("rank").cast("int").alias("rel_rank"),
+    )
+
+
+def q84_kg_topology_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-topology analysis (kg_topology_analysis.cpp:64-213) over
+    a synthetic semantic_neighbor graph with known structure: decade
+    chains broken at multiples of 11 (isolated docs), reciprocal edges
+    except every third pair, self-loops (skipped :108-110), duplicate
+    directed edges (collapsed), strays to unknown nodes (skipped
+    :103-104). Components run through the shared hybrid
+    connected_components; the summary is one row of the reference's
+    KGTopologySummary counters."""
+    _ship_package(spark)
+    from yams_spark.operators.kg_summary import analyze_document_topology
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node_id"))
+    i = F.col("node_id")
+    fwd_ok = ((i % 10) < 9) & (i % 11 != 0) & ((i + 1) % 11 != 0)
+    fwd = d.where(fwd_ok).select(i.alias("src"), (i + 1).alias("dst"))
+    bwd = d.where(fwd_ok & (i % 3 != 2)).select(
+        (i + 1).alias("src"), i.alias("dst")
+    )
+    loops = d.where(i % 13 == 0).select(i.alias("src"), i.alias("dst"))
+    dup = d.where(fwd_ok & (i % 4 == 0)).select(
+        i.alias("src"), (i + 1).alias("dst")
+    )
+    stray = d.where(i % 9 == 0).select(
+        i.alias("src"), (i + 1000000).alias("dst")
+    )
+    edges = (
+        fwd.unionByName(bwd)
+        .unionByName(loops)
+        .unionByName(dup)
+        .unionByName(stray)
+    )
+    s = analyze_document_topology(d, edges)
+    return s.select(
+        "document_node_count",
+        "documents_with_semantic_neighbors",
+        "semantic_edge_count",
+        F.round("avg_semantic_degree", 6).cast("double").alias(
+            "avg_semantic_degree"
+        ),
+        F.round("semantic_coverage", 6).cast("double").alias(
+            "semantic_coverage"
+        ),
+        "isolated_document_count",
+        "connected_component_count",
+        F.col("largest_component_size").cast("long").alias(
+            "largest_component_size"
+        ),
+        "documents_with_reciprocal_neighbors",
+        "reciprocal_semantic_edge_count",
+        "reciprocal_community_count",
+        F.col("largest_reciprocal_community_size").cast("long").alias(
+            "largest_reciprocal_community_size"
+        ),
+        "reciprocal_singleton_document_count",
+        "unreciprocated_semantic_edge_count",
+        F.round("semantic_reciprocity", 6).cast("double").alias(
+            "semantic_reciprocity"
+        ),
+    )
+
+
 #: q69 synthetic query per document — identical SQL for Spark and DuckDB
 #: (concat/substring/CASE agree); exercises every routing branch
 _Q69_SYNTH = """
@@ -2890,6 +3035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_gc_candidates": q80_gc_candidates,
         "q81_gc_collect": q81_gc_collect,
         "q82_transaction_history": q82_transaction_history,
+        "q83_kg_relation_summary": q83_kg_relation_summary,
+        "q84_kg_topology_summary": q84_kg_topology_summary,
         # --- round-3/4 oracle entries: never (or only once) driver-checked
         "q59_stemmed_search": q59_stemmed_search,
         "q60_unicode61_tokens": q60_unicode61_tokens,
@@ -5094,6 +5241,185 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.decrements, 0) AS BIGINT) AS decrements
             FROM txns t LEFT JOIN agg a USING (transaction_id)
             ORDER BY start_timestamp DESC, transaction_id DESC
+        """,
+        "q83_kg_relation_summary": """
+            WITH d AS (
+                SELECT doc_id, substr(sha256(text), 1, 8) AS h8 FROM documents),
+            keyed AS (
+                SELECT doc_id AS file_id,
+                       unnest(['path:file:corpus/' || CAST(doc_id AS VARCHAR),
+                               'file:corpus/' || CAST(doc_id AS VARCHAR)]
+                              || CASE WHEN doc_id % 4 = 3 THEN []
+                                      ELSE ['doc:' || h8, 'blob:' || h8] END)
+                           AS node_key
+                FROM d),
+            nodes AS (
+                SELECT doc_id * 4 AS node_id,
+                       'path:file:corpus/' || CAST(doc_id AS VARCHAR) AS node_key
+                FROM d WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id * 4 + 1, 'file:corpus/' || CAST(doc_id AS VARCHAR)
+                FROM d WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id * 4 + 2, 'doc:' || h8 FROM d WHERE doc_id % 4 < 2
+                UNION ALL
+                SELECT doc_id * 4 + 3, 'blob:' || h8 FROM d WHERE doc_id % 5 < 2),
+            fnodes AS (
+                SELECT DISTINCT file_id, node_id
+                FROM keyed JOIN nodes USING (node_key)),
+            ek AS (SELECT doc_id, unnest(range(0, 6)) AS k FROM d),
+            e0 AS (
+                SELECT k,
+                       doc_id * 4 + k % 4 AS src_node_id,
+                       ((doc_id + k) % 997) * 4 AS dst_node_id,
+                       CASE WHEN k % 3 = 2 THEN 0
+                            ELSE doc_id * 16 + k END AS edge_id,
+                       CASE (doc_id + k) % 8
+                           WHEN 0 THEN ' Call'
+                           WHEN 1 THEN 'include'
+                           WHEN 2 THEN 'REFERENCE'
+                           WHEN 3 THEN 'rename-to'
+                           WHEN 4 THEN 'Blob Version'
+                           WHEN 5 THEN 'links to'
+                           WHEN 6 THEN '  '
+                           ELSE 'Imports' END AS relation
+                FROM ek),
+            edges AS (
+                SELECT * FROM e0
+                UNION ALL SELECT * FROM e0 WHERE k IN (1, 2)),
+            bidir AS (
+                SELECT DISTINCT f.file_id,
+                       CASE WHEN e.edge_id > 0
+                            THEN '#' || CAST(e.edge_id AS VARCHAR)
+                            ELSE CAST(e.src_node_id AS VARCHAR) || ':'
+                                 || CAST(e.dst_node_id AS VARCHAR) || ':'
+                                 || e.relation END AS edge_key,
+                       e.relation
+                FROM fnodes f JOIN edges e
+                  ON f.node_id = e.src_node_id OR f.node_id = e.dst_node_id),
+            normed AS (
+                SELECT file_id,
+                       CASE r WHEN 'call' THEN 'calls'
+                              WHEN 'include' THEN 'includes'
+                              WHEN 'inherit' THEN 'inherits'
+                              WHEN 'implement' THEN 'implements'
+                              WHEN 'reference' THEN 'references'
+                              WHEN 'rename_to' THEN 'renamed_to'
+                              WHEN 'rename_from' THEN 'renamed_from'
+                              WHEN 'move_to' THEN 'moved_to'
+                              WHEN 'move_from' THEN 'moved_from'
+                              WHEN 'version' THEN 'has_version'
+                              WHEN 'blob_version' THEN 'has_version'
+                              ELSE r END AS relation
+                FROM (
+                    SELECT file_id,
+                           regexp_replace(lower(regexp_replace(relation,
+                               '^\\s+|\\s+$', '', 'g')), '[\\s-]', '_', 'g') AS r
+                    FROM bidir)
+                WHERE r <> ''),
+            counts AS (
+                SELECT file_id, relation, COUNT(*) AS rel_count
+                FROM normed GROUP BY 1, 2),
+            ranked AS (
+                SELECT file_id, relation, rel_count,
+                       SUM(rel_count) OVER (PARTITION BY file_id)
+                           AS total_edges,
+                       ROW_NUMBER() OVER (PARTITION BY file_id
+                           ORDER BY rel_count DESC, relation ASC) AS rel_rank
+                FROM counts)
+            SELECT CAST(file_id AS BIGINT) AS file_id, relation,
+                   CAST(rel_count AS BIGINT) AS rel_count,
+                   CAST(total_edges AS BIGINT) AS total_edges,
+                   CAST(rel_rank AS INTEGER) AS rel_rank
+            FROM ranked WHERE rel_rank <= 3
+        """,
+        "q84_kg_topology_summary": """
+            WITH RECURSIVE docs AS (SELECT doc_id AS node FROM documents),
+            fwd AS (
+                SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+                WHERE doc_id % 10 < 9 AND doc_id % 11 <> 0
+                  AND (doc_id + 1) % 11 <> 0),
+            raw AS (
+                SELECT a, b FROM fwd
+                UNION ALL
+                SELECT f.b, f.a FROM fwd f
+                JOIN documents x ON x.doc_id = f.a
+                WHERE x.doc_id % 3 <> 2
+                UNION ALL
+                SELECT doc_id, doc_id FROM documents WHERE doc_id % 13 = 0
+                UNION ALL
+                SELECT a, b FROM fwd WHERE a % 4 = 0
+                UNION ALL
+                SELECT doc_id, doc_id + 1000000 FROM documents
+                WHERE doc_id % 9 = 0),
+            directed AS (
+                SELECT DISTINCT a, b FROM raw
+                JOIN docs d1 ON raw.a = d1.node
+                JOIN docs d2 ON raw.b = d2.node
+                WHERE a <> b),
+            und AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM directed),
+            recip AS (
+                SELECT DISTINCT least(x.a, x.b) AS u, greatest(x.a, x.b) AS v
+                FROM directed x JOIN directed y
+                  ON x.a = y.b AND x.b = y.a),
+            bidir AS (
+                SELECT u AS p, v AS q FROM und
+                UNION ALL SELECT v, u FROM und),
+            reach(node, lbl) AS (
+                SELECT p, p FROM (SELECT DISTINCT p FROM bidir)
+                UNION
+                SELECT e.q, r.lbl FROM reach r
+                JOIN bidir e ON e.p = r.node WHERE r.lbl < e.q),
+            comp AS (SELECT node, MIN(lbl) AS c FROM reach GROUP BY node),
+            ccsz AS (SELECT c, COUNT(*) AS sz FROM comp GROUP BY c),
+            rbidir AS (
+                SELECT u AS p, v AS q FROM recip
+                UNION ALL SELECT v, u FROM recip),
+            rreach(node, lbl) AS (
+                SELECT p, p FROM (SELECT DISTINCT p FROM rbidir)
+                UNION
+                SELECT e.q, r.lbl FROM rreach r
+                JOIN rbidir e ON e.p = r.node WHERE r.lbl < e.q),
+            rcomp AS (SELECT node, MIN(lbl) AS c FROM rreach GROUP BY node),
+            rcsz AS (
+                SELECT c, COUNT(*) AS sz FROM rcomp
+                GROUP BY c HAVING COUNT(*) >= 2),
+            scal AS (
+                SELECT (SELECT COUNT(*) FROM docs) AS nd,
+                       (SELECT COUNT(*) FROM und) AS se,
+                       (SELECT COUNT(DISTINCT p) FROM bidir) AS wn,
+                       (SELECT COUNT(*) FROM ccsz) AS ecc,
+                       (SELECT COALESCE(MAX(sz), 0) FROM ccsz) AS maxcc,
+                       (SELECT COUNT(*) FROM recip) AS re,
+                       (SELECT COUNT(DISTINCT p) FROM rbidir) AS wr,
+                       (SELECT COUNT(*) FROM rcsz) AS nrc,
+                       (SELECT COALESCE(MAX(sz), 0) FROM rcsz) AS maxrc)
+            SELECT CAST(nd AS BIGINT) AS document_node_count,
+                   CAST(wn AS BIGINT) AS documents_with_semantic_neighbors,
+                   CAST(se AS BIGINT) AS semantic_edge_count,
+                   CAST(ROUND(se * 1.0 / nd, 6) AS DOUBLE)
+                       AS avg_semantic_degree,
+                   CAST(ROUND(wn * 1.0 / nd, 6) AS DOUBLE)
+                       AS semantic_coverage,
+                   CAST(nd - wn AS BIGINT) AS isolated_document_count,
+                   CAST(ecc + (nd - wn) AS BIGINT)
+                       AS connected_component_count,
+                   CAST(GREATEST(maxcc, CASE WHEN nd > wn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS largest_component_size,
+                   CAST(wr AS BIGINT) AS documents_with_reciprocal_neighbors,
+                   CAST(re AS BIGINT) AS reciprocal_semantic_edge_count,
+                   CAST(nrc AS BIGINT) AS reciprocal_community_count,
+                   CAST(maxrc AS BIGINT)
+                       AS largest_reciprocal_community_size,
+                   CAST(nd - wr AS BIGINT)
+                       AS reciprocal_singleton_document_count,
+                   CAST(se - re AS BIGINT)
+                       AS unreciprocated_semantic_edge_count,
+                   CAST(ROUND(re * 1.0 / se, 6) AS DOUBLE)
+                       AS semantic_reciprocity
+            FROM scal
         """,
         "q76_verification_schedule": """
             WITH b AS (
