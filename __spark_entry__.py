@@ -3012,6 +3012,115 @@ def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spill_mini_frames(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(memberships, clusters, documents) DataFrames for the spill/reps
+    fixture — full 384-dim float32 embeddings hydrated from the 2-sparse
+    shared spec (yams_spark/oracle/spill_mini.py)."""
+    from yams_spark.oracle.spill_mini import (
+        embedding_xy,
+        spill_mini_clusters,
+        spill_mini_docs,
+    )
+
+    docs = spill_mini_docs()
+    memberships = spark.createDataFrame(
+        [(d["doc_hash"], d["cluster_id"], d["role"], d["overlap"]) for d in docs],
+        "doc_hash string, cluster_id string, role string, "
+        "overlap_cluster_ids array<string>",
+    )
+    documents = spark.createDataFrame(
+        [(d["doc_hash"], embedding_xy(d["x"], d["y"])) for d in docs],
+        "doc_hash string, embedding array<float>",
+    )
+    clusters = spark.createDataFrame(
+        [(c["cluster_id"], embedding_xy(c["cx"], c["cy"]))
+         for c in spill_mini_clusters()],
+        "cluster_id string, centroid array<float>",
+    )
+    return memberships, clusters, documents
+
+
+def q85_routing_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse routing representatives: greedy max-min (k-center)
+    selection of extra per-cluster dense representatives, seeded by
+    cosine distance to the centroid with hash-sorted candidates and
+    strict-``>`` tie resolution (selectDiverseRoutingRepresentatives,
+    /root/reference/src/topology/topology_representatives.cpp:33-91;
+    config seam topology_artifacts.h:98-100 routingRepresentativeCount).
+    One applyInPandas keyed by cluster — the greedy loop is bounded by
+    the construction's component cap, the cluster axis is the parallel
+    one. The DuckDB oracle unrolls the two selection steps over the
+    2-sparse fixture in closed form, including the NaN-member filter and
+    the one-candidate early break."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_reps import select_routing_representatives
+    from yams_spark.oracle.spill_mini import (
+        REP_COUNT,
+        embedding_xy,
+        rep_mini_docs,
+        spill_mini_clusters,
+    )
+
+    members = spark.createDataFrame(
+        [(d["cluster_id"], d["doc_hash"], embedding_xy(d["x"], d["y"]))
+         for d in rep_mini_docs()],
+        "cluster_id string, doc_hash string, embedding array<float>",
+    )
+    clusters = spark.createDataFrame(
+        [(c["cluster_id"], embedding_xy(c["cx"], c["cy"]))
+         for c in spill_mini_clusters()],
+        "cluster_id string, centroid array<float>",
+    )
+    out = select_routing_representatives(members, clusters, REP_COUNT)
+    return out.select(
+        "cluster_id",
+        F.col("sel_order").cast("int").alias("sel_order"),
+        "doc_hash",
+        F.round("sel_distance", 8).cast("double").alias("sel_distance"),
+    )
+
+
+def q86_boundary_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOAR-style orthogonal boundary spill: bounded secondary cluster
+    assignments ranked by ``|x-c|² + λ·⟨x-p,x-c⟩²/|x-p|²`` under the
+    boundary-distance-ratio gate, with the outlier branch gated by the
+    candidate cluster's observed member radius
+    (applyOrthogonalBoundarySpill,
+    /root/reference/src/topology/topology_representatives.cpp:93-287;
+    SOAR lambda config topology_artifacts.h:65-72). Fully Catalyst-side:
+    broadcast cluster table, zip_with/aggregate residual folds, one
+    doc-partitioned rank window. The fixture exercises the SOAR reorder
+    (nearest centroid pushed past the limit by the parallel-residual
+    penalty), an exact mirror-symmetric loss tie resolved by cluster id,
+    the at-centroid skip, the outlier radius branch, a pre-existing
+    overlap skip, and an unknown-cluster drop — all DuckDB-hash-verified
+    in closed form over the 2-sparse embeddings."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_reps import orthogonal_boundary_spill
+    from yams_spark.oracle.spill_mini import (
+        SPILL_LIMIT,
+        SPILL_PENALTY,
+        SPILL_RATIO,
+    )
+
+    memberships, clusters, documents = _spill_mini_frames(spark)
+    out = orthogonal_boundary_spill(
+        memberships,
+        clusters,
+        documents,
+        overlap_limit=SPILL_LIMIT,
+        boundary_ratio=SPILL_RATIO,
+        residual_penalty=SPILL_PENALTY,
+    )
+    return out.select(
+        "doc_hash",
+        "primary_cluster",
+        "spill_cluster",
+        F.col("spill_rank").cast("int").alias("spill_rank"),
+        F.round("loss", 8).cast("double").alias("loss"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window covers the
     newest, least-established entries (round-5 additions first, then the
@@ -3021,6 +3130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full tools/check_entry.py sweep committed as BENCH/SWEEP_rNN.txt."""
     return {
         # --- round-5 additions: newest first, inside the driver window
+        "q85_routing_representatives": q85_routing_representatives,
+        "q86_boundary_spill": q86_boundary_spill,
         "er_semantic_mini": er_semantic_mini,
         "er_semantic_mini_members": er_semantic_mini_members,
         "q73_topology_route": q73_topology_route,
@@ -3594,8 +3705,14 @@ def oracle_sql() -> dict[str, str]:
         members_oracle_sql,
         metrics_oracle_sql,
     )
+    from yams_spark.oracle.spill_mini import (
+        reps_oracle_sql,
+        spill_oracle_sql,
+    )
 
     return {
+        "q85_routing_representatives": reps_oracle_sql(),
+        "q86_boundary_spill": spill_oracle_sql(),
         "er_semantic_mini": clusters_oracle_sql(),
         "er_semantic_mini_members": members_oracle_sql(),
         "er_semantic_mini_distcc": clusters_oracle_sql(),
