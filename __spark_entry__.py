@@ -3121,6 +3121,168 @@ def q86_boundary_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engines_nodes(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(documents, neighbors) for the Louvain/batch fixture — nodes with
+    empty embeddings (the stats/roles surfaces are embedding-free) and
+    the undirected clique(+cross) edges emitted as reciprocal directed
+    neighbor rows, the buildPairWeights input shape."""
+    from yams_spark.oracle.engines_mini import (
+        batch_mini_edges,
+        louvain_mini_nodes,
+    )
+
+    docs = spark.createDataFrame(
+        [(h, i, []) for h, i in louvain_mini_nodes()],
+        "doc_hash string, idx long, embedding array<float>",
+    )
+    rows = []
+    for a, b, w in batch_mini_edges():
+        rows.append((a, b, float(w), True))
+        rows.append((b, a, float(w), True))
+    neighbors = spark.createDataFrame(
+        rows, "doc_hash string, neighbor_hash string, score float, reciprocal boolean"
+    )
+    return docs, neighbors
+
+
+def q87_kmeans_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means engine (runKMeans,
+    /root/reference/src/topology/topology_alternate_engines.cpp:341-478):
+    farthest-first (Gonzalez) seeding with no RNG, Lloyd iterations with
+    float32 running-mean + renormalise centroids, unusable documents as
+    singleton buckets. Spark shape: seeding = k bounded passes (distance
+    map + global top-1), assignment = one vectorised mapInPandas per
+    iteration, centroids = one keyed applyInPandas — only the k·dim
+    centroid matrix is driver-resident. The DuckDB oracle re-derives the
+    converged assignment from the unrolled 3-step seeding + one
+    nearest-centroid pass, valid under the fixture's pinned blob margins
+    (yams_spark/oracle/engines_mini.py)."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_engines import kmeans_assign
+    from yams_spark.oracle.engines_mini import (
+        KMEANS_K,
+        kmeans_embedding,
+        kmeans_mini_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(d["doc_hash"], d["idx"], kmeans_embedding(d)) for d in kmeans_mini_docs()],
+        "doc_hash string, idx long, embedding array<float>",
+    )
+    out = kmeans_assign(docs, k=KMEANS_K)
+    lbl = out.groupBy("label").agg(
+        F.min("doc_hash").alias("cluster_label"),
+        F.count("*").alias("cluster_size"),
+    )
+    return out.join(lbl, "label").select(
+        "doc_hash", "cluster_label", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
+
+
+def q89_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass Louvain engine (runLouvain,
+    topology_alternate_engines.cpp:491-593) over buildPairWeights
+    (:49-82) edges: greedy modularity node-moves, driver-exact under the
+    2M-pair gate (the reference's engine is equally in-memory; the
+    distributed scale path is the CC/SGC engines). The fixture's
+    edge-disjoint distinct-weight cliques make communities == connected
+    components, which DuckDB re-derives with the recursive min-label
+    CTE; the pytest replica pins ≥1e-6 gain gaps at every greedy
+    decision so tie order can never alter the result."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_engines import (
+        build_pair_weights,
+        louvain_assign,
+    )
+    from yams_spark.oracle.engines_mini import louvain_mini_nodes
+
+    docs = spark.createDataFrame(
+        [(h, i) for h, i in louvain_mini_nodes()], "doc_hash string, idx long"
+    )
+    from yams_spark.oracle.engines_mini import louvain_mini_edges
+
+    rows = []
+    for a, b, w in louvain_mini_edges():
+        rows.append((a, b, float(w), True))
+        rows.append((b, a, float(w), True))
+    neighbors = spark.createDataFrame(
+        rows, "doc_hash string, neighbor_hash string, score float, reciprocal boolean"
+    )
+    pw = build_pair_weights(neighbors, docs)
+    out = louvain_assign(docs, pw)
+    lbl = out.groupBy("label").agg(
+        F.min("doc_hash").alias("community_label"),
+        F.count("*").alias("community_size"),
+    )
+    return out.join(lbl, "label").select(
+        "doc_hash", "community_label",
+        F.col("community_size").cast("long").alias("community_size"),
+    )
+
+
+def q88_topology_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment→artifact batch builder, cluster side
+    (buildBatchFromAssignment, topology_alternate_engines.cpp:100-266):
+    min-member-hash cluster ids, cohesion (mean internal weight),
+    persistence (min internal weight), density, bridge mass, protected
+    vs preserved pair counts, weighted-degree medoids with the 1e-9
+    min-hash tie rule (the lc0/lc1 tie is EXACT in the fixture). All
+    keyed aggregations + one per-cluster window; edge weights are
+    multiples of 1/64 so every sum is order-exact on both engines."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_engines import (
+        build_batch_from_assignment,
+        build_pair_weights,
+    )
+    from yams_spark.oracle.engines_mini import batch_mini_assignment
+
+    docs, neighbors = _engines_nodes(spark)
+    labels = spark.createDataFrame(
+        batch_mini_assignment(), "doc_hash string, label long"
+    )
+    pw = build_pair_weights(neighbors, docs)
+    batch = build_batch_from_assignment(docs, labels, pw)
+    return batch["clusters"].select(
+        "cluster_id",
+        F.col("member_count").cast("long").alias("member_count"),
+        F.round("cohesion", 8).cast("double").alias("cohesion"),
+        F.round("persistence", 8).cast("double").alias("persistence"),
+        F.round("density", 8).cast("double").alias("density"),
+        F.round("bridge_mass", 8).cast("double").alias("bridge_mass"),
+        "protected_pair_count",
+        "preserved_protected_pair_count",
+        "medoid_hash",
+        F.round("medoid_score", 8).cast("double").alias("medoid_score"),
+    )
+
+
+def q90_topology_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment→artifact batch builder, membership side
+    (buildBatchFromAssignment, topology_alternate_engines.cpp:227-251):
+    per-member bridge score (weighted degree / (size-1)) and role
+    (outlier for singletons, medoid, bridge when size>2 ∧ wd≥2.0, else
+    core) — same CTE stack as q88 on the DuckDB side."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_engines import (
+        build_batch_from_assignment,
+        build_pair_weights,
+    )
+    from yams_spark.oracle.engines_mini import batch_mini_assignment
+
+    docs, neighbors = _engines_nodes(spark)
+    labels = spark.createDataFrame(
+        batch_mini_assignment(), "doc_hash string, label long"
+    )
+    pw = build_pair_weights(neighbors, docs)
+    batch = build_batch_from_assignment(docs, labels, pw)
+    return batch["memberships"].select(
+        "doc_hash",
+        "cluster_id",
+        F.round("bridge_score", 8).cast("double").alias("bridge_score"),
+        "role",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window covers the
     newest, least-established entries (round-5 additions first, then the
@@ -3130,6 +3292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full tools/check_entry.py sweep committed as BENCH/SWEEP_rNN.txt."""
     return {
         # --- round-5 additions: newest first, inside the driver window
+        "q87_kmeans_topology": q87_kmeans_topology,
+        "q88_topology_batch": q88_topology_batch,
+        "q89_louvain_communities": q89_louvain_communities,
+        "q90_topology_roles": q90_topology_roles,
         "q85_routing_representatives": q85_routing_representatives,
         "q86_boundary_spill": q86_boundary_spill,
         "er_semantic_mini": er_semantic_mini,
@@ -3709,8 +3875,18 @@ def oracle_sql() -> dict[str, str]:
         reps_oracle_sql,
         spill_oracle_sql,
     )
+    from yams_spark.oracle.engines_mini import (
+        batch_oracle_sql,
+        kmeans_oracle_sql,
+        louvain_oracle_sql,
+        roles_oracle_sql,
+    )
 
     return {
+        "q87_kmeans_topology": kmeans_oracle_sql(),
+        "q88_topology_batch": batch_oracle_sql(),
+        "q89_louvain_communities": louvain_oracle_sql(),
+        "q90_topology_roles": roles_oracle_sql(),
         "q85_routing_representatives": reps_oracle_sql(),
         "q86_boundary_spill": spill_oracle_sql(),
         "er_semantic_mini": clusters_oracle_sql(),
