@@ -3121,6 +3121,43 @@ def q86_boundary_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule metric itself, DuckDB-hash-verified: pairwise
+    precision/recall/F1 on labeled candidate pairs over the semantic-mini
+    corpus (operators/evaluation.py labeled_pairs + pairwise_f1;
+    FIXTURES.md §2). Candidate pairs come from the REAL pipeline run
+    (out['pairs']); truth families are scenario-intent labels
+    (semantic_mini.eval_truth_family: scenario C's rejected collisions
+    are true negatives, scenario F's bridged sub-families price
+    over-merge as false positives) — so every confusion cell is
+    non-trivially populated (tp=34 fp=8 fn=18 tn=12 at this corpus) and
+    the oracle independently re-derives the blocking join, the published
+    clusters, the truth map and the GREATEST(…,1)-guarded metrics."""
+    _ship_package(spark)
+    from yams_spark.operators.evaluation import labeled_pairs, pairwise_f1
+    from yams_spark.oracle.semantic_mini import (
+        eval_truth_family,
+        semantic_mini_spec,
+    )
+
+    out = _er_semantic_outputs(spark)
+    truth = spark.createDataFrame(
+        [(p["url"], eval_truth_family(p)) for p in semantic_mini_spec()],
+        "url string, family_id string",
+    )
+    members = out["members"].select("url", "group_key")
+    f1 = pairwise_f1(labeled_pairs(out["pairs"], truth), members)
+    return f1.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round("precision", 6).cast("double").alias("precision"),
+        F.round("recall", 6).cast("double").alias("recall"),
+        F.round("f1", 6).cast("double").alias("f1"),
+    )
+
+
 def _engines_nodes(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """(documents, neighbors) for the Louvain/batch fixture — nodes with
     empty embeddings (the stats/roles surfaces are embedding-free) and
@@ -3292,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full tools/check_entry.py sweep committed as BENCH/SWEEP_rNN.txt."""
     return {
         # --- round-5 additions: newest first, inside the driver window
+        "er_semantic_eval": er_semantic_eval,
         "q87_kmeans_topology": q87_kmeans_topology,
         "q88_topology_batch": q88_topology_batch,
         "q89_louvain_communities": q89_louvain_communities,
@@ -3882,7 +3920,10 @@ def oracle_sql() -> dict[str, str]:
         roles_oracle_sql,
     )
 
+    from yams_spark.oracle.semantic_mini import eval_oracle_sql
+
     return {
+        "er_semantic_eval": eval_oracle_sql(),
         "q87_kmeans_topology": kmeans_oracle_sql(),
         "q88_topology_batch": batch_oracle_sql(),
         "q89_louvain_communities": louvain_oracle_sql(),

@@ -145,3 +145,29 @@ def test_transitive_only_members_published(outputs):
     c = outputs["clusters"]
     assert len(c) == 8
     assert sorted(c["member_count"]) == [3, 3, 4, 4, 4, 4, 4, 4]
+
+
+def test_eval_truth_and_confusion(spark):
+    """The north-rule pairwise-F1 evaluation over the mini corpus:
+    scenario-intent truth families populate every confusion cell
+    (C rejections = tn, F sub-family bridge = fp, B/E drops = fn),
+    matching the DuckDB eval oracle's closed-form counts."""
+    from __spark_entry__ import er_semantic_eval
+    from yams_spark.oracle.semantic_mini import (
+        eval_truth_family,
+        semantic_mini_spec,
+    )
+
+    spec = semantic_mini_spec()
+    fams = {}
+    for p in spec:
+        fams.setdefault(p["g"], set()).add(eval_truth_family(p))
+    for g, f in fams.items():
+        kind = g % 6
+        assert len(f) == (4 if kind == 2 else 2 if kind == 5 else 1), (g, f)
+
+    row = er_semantic_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (34, 8, 18, 12)
+    assert row["precision"] == 0.809524
+    assert row["recall"] == 0.653846
+    assert row["f1"] == 0.723404

@@ -304,3 +304,77 @@ def members_oracle_sql() -> str:
                   OR (d.url_b = n.canonical_url AND d.url_a = mem.url))
         """
     )
+
+
+def eval_truth_family(page: dict) -> str:
+    """Ground-truth family id for the pairwise-F1 evaluation (the north
+    rule's metric) — defined BY the scenario intent, not by what the
+    gates accept, so the confusion matrix is non-trivial:
+
+    * scenario C (``g % 6 == 2``, mid-cosine zero-overlap rejects): the
+      pages are blocking COLLISIONS, not duplicates — each its own
+      family ⇒ the 6 rejected candidate pairs per group are TRUE
+      NEGATIVES.
+    * scenario F (``g % 6 == 5``, two url-token sub-pairs bridged by the
+      auto-accept chain): truth is the url sub-family ⇒ the 4
+      cross-sub-family pairs inside the single published cluster are
+      FALSE POSITIVES (over-merge, priced by precision).
+    * everything else: the whole group is one family ⇒ dropped members
+      (scenario B's 40° outlier, scenario E's all-reject) cost recall.
+    """
+    g, i = page["g"], page["i"]
+    if g % 6 == 2:
+        return f"{g}:{i}"
+    if g % 6 == 5:
+        return f"{g}:{'a' if i < 2 else 'b'}"
+    return str(g)
+
+
+def eval_oracle_sql() -> str:
+    """Pairwise precision/recall/F1 on labeled candidate pairs — the
+    north-rule metric itself, independently re-derived: DuckDB rebuilds
+    the candidate pair set (the ``pr`` blocking join), the published
+    clusters (the full accepted-edge closure), the spec truth families,
+    and the confusion matrix with the evaluator's exact GREATEST(…, 1)
+    guards (operators/evaluation.py:31-63)."""
+    return (
+        _common_cte()
+        + f"""
+            , fam AS (
+                SELECT url,
+                       CASE WHEN g % 6 = 2
+                            THEN g || ':' || ((ts - {BASE_TS}) / 60 - g * 4)
+                            WHEN g % 6 = 5 THEN g || ':' ||
+                                 (CASE WHEN ((ts - {BASE_TS}) / 60 - g * 4) < 2
+                                       THEN 'a' ELSE 'b' END)
+                            ELSE CAST(g AS VARCHAR) END AS family_id
+                FROM pages),
+            pubmem AS (
+                SELECT mem.url, g.group_key FROM mem
+                JOIN grp g USING (component)),
+            scored AS (
+                SELECT (fa.family_id = fb.family_id) AS is_match,
+                       (pa.group_key IS NOT NULL AND pb.group_key IS NOT NULL
+                        AND pa.group_key = pb.group_key) AS pred
+                FROM pr c
+                JOIN fam fa ON fa.url = c.url_a
+                JOIN fam fb ON fb.url = c.url_b
+                LEFT JOIN pubmem pa ON pa.url = c.url_a
+                LEFT JOIN pubmem pb ON pb.url = c.url_b),
+            cm AS (
+                SELECT SUM(CASE WHEN is_match AND pred THEN 1 ELSE 0 END) AS tp,
+                       SUM(CASE WHEN NOT is_match AND pred THEN 1 ELSE 0 END) AS fp,
+                       SUM(CASE WHEN is_match AND NOT pred THEN 1 ELSE 0 END) AS fn,
+                       SUM(CASE WHEN NOT is_match AND NOT pred THEN 1 ELSE 0 END) AS tn
+                FROM scored)
+            SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                   CAST(ROUND(tp * 1.0 / GREATEST(tp + fp, 1), 6) AS DOUBLE)
+                       AS precision,
+                   CAST(ROUND(tp * 1.0 / GREATEST(tp + fn, 1), 6) AS DOUBLE)
+                       AS recall,
+                   CAST(ROUND(2.0 * tp / GREATEST(2 * tp + fp + fn, 1), 6)
+                        AS DOUBLE) AS f1
+            FROM cm
+        """
+    )
