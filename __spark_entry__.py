@@ -2293,6 +2293,49 @@ def q69_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Synthetic fallback-concept queries: anchored biomedical phrases, weak
+#: verbs, numeric tokens, CD/IL surfaces, and short/degenerate strings —
+#: identical SQL on the Spark and DuckDB sides (documents.text is ASCII).
+_Q91_SYNTH = """
+    CASE doc_id % 8
+        WHEN 0 THEN concat('protein kinase ', substring(text, 1, 12),
+                           ' activation pathway')
+        WHEN 1 THEN concat('results show ', CAST(doc_id AS STRING),
+                           ' cancer treatment')
+        WHEN 2 THEN concat('CD', CAST(doc_id % 99 AS STRING),
+                           ' cell receptor ', substring(text, 1, 10))
+        WHEN 3 THEN substring(text, 1, 40)
+        WHEN 4 THEN concat('IL 2 receptor alpha ', substring(text, 1, 8))
+        WHEN 5 THEN concat(substring(text, 3, 14),
+                           ' Tumor inhibition response 2021')
+        WHEN 6 THEN substring(text, 1, 12)
+        ELSE concat('stem cell derived ', substring(text, 1, 10),
+                    ' demonstrates monocyte differentiation')
+    END
+"""
+
+
+def q91_fallback_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback query concepts (query_expansion.cpp:64-297 via
+    operators/concept_fallback.py): anchored sub-phrases at 0.62, the
+    compressed remainder, then salience-ranked tokens, deduped on the
+    graph surface and typed by the vocabulary cascade — the pure-Catalyst
+    dataflow twin over one synthetic query per document."""
+    _ship_package(spark)
+    from yams_spark.operators.concept_fallback import fallback_concepts_df
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("query_id"), F.expr(_Q91_SYNTH).alias("query")
+    )
+    return fallback_concepts_df(d, max_concepts=8).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "text",
+        "type",
+        "confidence",
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3329,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full tools/check_entry.py sweep committed as BENCH/SWEEP_rNN.txt."""
     return {
         # --- round-5 additions: newest first, inside the driver window
+        "q91_fallback_concepts": q91_fallback_concepts,
         "er_semantic_eval": er_semantic_eval,
         "q87_kmeans_topology": q87_kmeans_topology,
         "q88_topology_batch": q88_topology_batch,
@@ -3718,6 +3762,161 @@ def _q68_oracle_sql() -> str:
         SELECT doc_id, CAST(ROUND(score, 6) AS DOUBLE) AS score,
                CAST(rk AS BIGINT) AS "rank"
         FROM r
+    """
+
+
+def _q91_oracle_sql() -> str:
+    """Fallback-concept generator restated in DuckDB over the same
+    synthesized queries: salience tiers, anchored 3-then-2 windows
+    ordered by center distance, keep-first dedup, compressed remainder,
+    token tier, and the type cascade (query_expansion.cpp:32-297). The
+    weak-token list is imported from the module so the sides cannot
+    drift."""
+    from yams_spark.operators.concept_fallback import WEAK_TOKENS
+
+    weak = "[" + ", ".join(f"'{w}'" for w in sorted(WEAK_TOKENS)) + "]"
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS query_id, {_Q91_SYNTH} AS query FROM documents),
+        b2 AS (
+            SELECT query_id, query,
+                   regexp_extract_all(query, '[A-Za-z0-9]+') AS origs,
+                   list_transform(regexp_extract_all(query, '[A-Za-z0-9]+'),
+                                  x -> lower(x)) AS norms,
+                   len(regexp_extract_all(query, '[A-Za-z0-9]+')) AS n,
+                   array_to_string(list_transform(
+                       regexp_extract_all(query, '[A-Za-z0-9]+'),
+                       x -> lower(x)), ' ') AS full_norm
+            FROM base),
+        tok AS (
+            SELECT query_id, n, origs, norms, full_norm,
+                   unnest(origs) AS orig,
+                   unnest(range(len(origs))) AS idx
+            FROM b2),
+        t3 AS (
+            SELECT *, lower(orig) AS norm,
+                   regexp_matches(lower(orig), '^[0-9]+$') AS is_num,
+                   list_contains({weak}, lower(orig)) AS is_weak,
+                   0.05 + (CASE WHEN regexp_matches(orig, '[0-9]')
+                                THEN 1.25 ELSE 0.0 END)
+                        + (CASE WHEN length(orig) >= 10 THEN 0.75
+                                WHEN length(orig) >= 6 THEN 0.35
+                                WHEN length(orig) >= 3 THEN 0.10
+                                ELSE 0.0 END) AS sal
+            FROM tok),
+        anchors AS (
+            SELECT query_id, n, origs, norms, full_norm, idx,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sal DESC, idx ASC) AS anchor_rank
+            FROM t3
+            WHERE n >= 3 AND length(norm) >= 2
+              AND NOT is_num AND NOT is_weak),
+        cand AS (
+            SELECT a.*, w.wlen,
+                   greatest(0, a.idx + 1 - w.wlen) AS start_min,
+                   least(a.idx, a.n - w.wlen) AS start_max
+            FROM anchors a
+            CROSS JOIN (SELECT unnest([3, 2]) AS wlen) w
+            WHERE w.wlen <= a.n),
+        cand2 AS (
+            SELECT *, unnest(range(start_min, start_max + 1)) AS start
+            FROM cand),
+        cand3 AS (
+            SELECT *,
+                   abs(start + wlen // 2 - idx) AS dist,
+                   CASE WHEN wlen = 3 THEN 0 ELSE 1 END AS len_ord,
+                   list_slice(norms, start + 1, start + wlen) AS win_norms,
+                   array_to_string(list_slice(norms, start + 1, start + wlen),
+                                   ' ') AS phrase_norm,
+                   array_to_string(list_slice(origs, start + 1, start + wlen),
+                                   ' ') AS phrase_orig
+            FROM cand2),
+        cand4 AS (
+            SELECT * FROM cand3
+            WHERE len(list_filter(win_norms,
+                      x -> regexp_matches(x, '^[0-9]+$')
+                           OR list_contains({weak}, x))) = 0
+              AND phrase_norm <> full_norm),
+        ph0 AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id, phrase_norm
+                       ORDER BY anchor_rank, len_ord, dist, start) AS dup_rn
+            FROM cand4),
+        ph1 AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY anchor_rank, len_ord, dist, start) AS prank
+            FROM ph0 WHERE dup_rn = 1),
+        phrases AS (SELECT * FROM ph1 WHERE prank <= 8),
+        comp0 AS (
+            SELECT query_id, origs, norms, full_norm,
+                   list_slice(list_filter(range(n),
+                       i -> length(norms[i + 1]) >= 2
+                            AND NOT regexp_matches(norms[i + 1], '^[0-9]+$')
+                            AND NOT list_contains({weak}, norms[i + 1])),
+                       1, 4) AS comp_idx
+            FROM b2 WHERE n >= 3),
+        comp AS (
+            SELECT query_id,
+                   array_to_string(list_transform(comp_idx,
+                       i -> origs[i + 1]), ' ') AS comp_orig,
+                   array_to_string(list_transform(comp_idx,
+                       i -> norms[i + 1]), ' ') AS comp_join,
+                   len(comp_idx) AS n_comp, full_norm
+            FROM comp0),
+        pstats AS (
+            SELECT query_id, count(*) AS n_phrases,
+                   list(phrase_norm) AS phrase_set
+            FROM phrases GROUP BY query_id),
+        rem AS (
+            SELECT c.query_id, c.comp_orig, c.comp_join
+            FROM comp c LEFT JOIN pstats p USING (query_id)
+            WHERE c.n_comp >= 2 AND c.comp_join <> c.full_norm
+              AND coalesce(p.n_phrases, 0) < 8
+              AND NOT coalesce(list_contains(p.phrase_set, c.comp_join),
+                               false)),
+        unioned AS (
+            SELECT query_id, 0 AS src, prank AS ord, phrase_orig AS text,
+                   phrase_norm AS cnorm, 0.62 AS confidence
+            FROM phrases
+            UNION ALL
+            SELECT query_id, 0 AS src, 9 AS ord, comp_orig, comp_join, 0.62
+            FROM rem
+            UNION ALL
+            SELECT query_id, 1 AS src,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sal DESC, idx ASC) AS ord,
+                   orig, norm,
+                   greatest(0.2, least(0.8,
+                       0.45 + least(0.25, sal * 0.02)))
+            FROM t3 WHERE length(norm) >= 2),
+        dd AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id, cnorm
+                       ORDER BY src, ord) AS rn
+            FROM unioned WHERE length(cnorm) >= 3),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY src, ord) AS rk
+            FROM dd WHERE rn = 1)
+        SELECT query_id, CAST(rk AS BIGINT) AS "rank", text,
+               CASE WHEN (regexp_matches(text, '[0-9]')
+                          AND regexp_matches(text, '[A-Z]'))
+                      OR starts_with(cnorm, 'cd')
+                      OR starts_with(cnorm, 'il ')
+                      OR contains(cnorm, 'protein')
+                      OR contains(cnorm, 'receptor')
+                      OR contains(cnorm, 'kinase') THEN 'protein'
+                    WHEN contains(cnorm, 'cell') OR contains(cnorm, 'bipolar')
+                      OR contains(cnorm, 'monocyte') THEN 'cell'
+                    WHEN contains(cnorm, 'cancer') OR contains(cnorm, 'disease')
+                      OR contains(cnorm, 'tumor')
+                      OR contains(cnorm, 'metast') THEN 'disease'
+                    WHEN contains(cnorm, 'pathway')
+                      OR contains(cnorm, 'response')
+                      OR contains(cnorm, 'activation')
+                      OR contains(cnorm, 'inhibition')
+                      THEN 'biological_process'
+                    ELSE 'concept' END AS type,
+               CAST(ROUND(confidence, 6) AS DOUBLE) AS confidence
+        FROM ranked WHERE rk <= 8
     """
 
 
@@ -5084,6 +5283,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q68_concept_boost": _q68_oracle_sql(),
         "q69_query_router": _q69_oracle_sql(),
+        "q91_fallback_concepts": _q91_oracle_sql(),
         "q71_graph_vector": f"""
             WITH {_q65_expansion_cte()},
             pairs2 AS (
