@@ -129,6 +129,58 @@ def test_enrich_merge_dedup_and_cap():
     assert enrich_with_fallback_concepts("protein kinase one", [], 0) == []
 
 
+def test_resolve_query_concepts_extractor_first():
+    """concepts.resolve_query_concepts: extractor spans lead, fallback
+    merges behind on the normalized_text|type key, everything lowercased
+    and deduped."""
+    from yams_spark.operators.concepts import resolve_query_concepts
+
+    terms = resolve_query_concepts("Protein Kinase activation pathway")
+    # extractor span ("Protein Kinase" -> protein) leads; the fallback
+    # phrase with the same key would collide only on identical surface
+    assert terms[0] == "protein kinase"
+    assert len(terms) == len(set(terms))
+    assert "kinase activation pathway" in terms
+    # no extractor spans -> pure fallback ordering (phrases first)
+    fb = resolve_query_concepts("protein kinase activation pathway")
+    assert fb[0] == "kinase activation pathway"
+    assert resolve_query_concepts("", max_concepts=4) == []
+    assert resolve_query_concepts("Protein Kinase", max_concepts=0) == []
+
+
+def test_hybrid_concept_boost_wiring(spark):
+    """enable_concept_boost: fallback-derived phrase concepts break a
+    lexical tie in favor of the doc whose text contains them
+    (concept_resolver.cpp merge -> concept_boost.cpp budget spend)."""
+    from yams_spark.operators.neighbors import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "protein kinase activation pathway demo"),
+            (2, "pathway activation kinase protein demo"),
+        ],
+        "doc_id long, text string",
+    )
+    base = hybrid_search(
+        spark, docs, query_text="protein kinase activation pathway",
+        query_embedding=None, embedding_df=None, limit=2,
+    ).collect()
+    by_id = {r["doc_id"]: r["fused_score"] for r in base}
+    assert by_id["1"] > by_id["2"]  # doc-id tie-break at equal BM25 → rank 0
+    boosted = hybrid_search(
+        spark, docs, query_text="protein kinase activation pathway",
+        query_embedding=None, embedding_df=None, limit=2,
+        enable_concept_boost=True,
+    ).collect()
+    bby = {r["doc_id"]: r["fused_score"] for r in boosted}
+    # doc 1 contains every resolved concept as a substring: desired
+    # 0.10 × 6 caps at the 0.25 global budget (×1.25); rank-0 spend
+    # leaves nothing for doc 2, whose only match is 'activation'
+    assert bby["1"] == pytest.approx(by_id["1"] * 1.25, rel=1e-9)
+    assert bby["2"] == pytest.approx(by_id["2"], rel=1e-9)
+    assert boosted[0]["doc_id"] == "1"
+
+
 #: battery for the dataflow-twin equivalence: weak tokens, numerics,
 #: repeats, casing, punctuation/unicode separators, short/degenerate
 #: queries, >max_concepts anchors

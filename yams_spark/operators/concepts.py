@@ -70,6 +70,46 @@ def extract_query_concepts(
     return out
 
 
+def resolve_query_concepts(
+    query: str,
+    max_concepts: int = CONCEPT_MAX_COUNT,
+    idf_by_token: dict[str, float] | None = None,
+) -> list[str]:
+    """Extractor concepts enriched with the fallback generator
+    (``concept_resolver.cpp:11-53``): the extractor's concepts come
+    first, fallback phrases/tokens merge behind them on the
+    ``normalized_text|type`` key until ``max_concepts``. Returns the
+    lowercased deduped term list ``apply_concept_boost`` consumes.
+    Extractor spans are typed by the same vocabulary cascade the
+    fallback path uses (query_expansion.cpp:211-242) — the GLiNER label
+    set is plugin territory, per the SURVEY §7 stand-in stance."""
+    from yams_spark.operators.concept_fallback import (
+        QueryConcept,
+        enrich_with_fallback_concepts,
+        infer_fallback_concept_type,
+    )
+
+    if max_concepts <= 0:
+        return []
+    base = [
+        QueryConcept(
+            t,
+            infer_fallback_concept_type(t),
+            min(1.0, 0.5 + 0.25 * len(t.split())),
+        )
+        for t in extract_query_concepts(query, max_count=max_concepts)
+    ]
+    merged = enrich_with_fallback_concepts(query, base, max_concepts, idf_by_token)
+    out: list[str] = []
+    seen: set[str] = set()
+    for c in merged:
+        low = c.text.lower()
+        if low and low not in seen:
+            seen.add(low)
+            out.append(low)
+    return out
+
+
 def apply_concept_boost(
     results: DataFrame,
     concepts: list[str],

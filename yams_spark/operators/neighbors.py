@@ -122,6 +122,7 @@ def hybrid_search(
     enable_simeon: bool = False,
     kg_tables: dict | None = None,
     route_gate: DataFrame | None = None,
+    enable_concept_boost: bool = False,
 ) -> DataFrame:
     """One hybrid query: BM25 lexical component + cosine vector component →
     per-component ranks → weighted-RRF fusion → deterministic top-k
@@ -313,6 +314,30 @@ def hybrid_search(
         from yams_spark.operators.search import apply_hotzone_boost
 
         fused = apply_hotzone_boost(fused, hotzone_df, hotzone_weight)
+    # concept boost (enhanced_search_executor concept stage): extractor
+    # concepts enriched with the fallback generator
+    # (concept_resolver.cpp:11-53), then the budgeted rank-ordered boost
+    # (concept_boost.cpp:33-138) over doc text as the match haystack —
+    # joined onto the fused set only (pool-bounded rows), never corpus-wide
+    if enable_concept_boost:
+        from yams_spark.operators.concepts import (
+            apply_concept_boost,
+            resolve_query_concepts,
+        )
+
+        cterms = resolve_query_concepts(query_text)
+        if cterms:
+            hay = docs.select(
+                F.col(id_col).cast("string").alias("doc_id"),
+                F.col(text_col).alias("snippet"),
+            )
+            fused = apply_concept_boost(
+                fused.join(hay, "doc_id", "left").withColumn(
+                    "snippet", F.coalesce("snippet", F.lit(""))
+                ),
+                cterms,
+                score_col="fused_score",
+            ).select("doc_id", "fused_score")
     head = topk_with_rescue(fused, limit=limit)
 
     def decorate(result: DataFrame) -> DataFrame:
