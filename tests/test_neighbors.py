@@ -61,6 +61,21 @@ def test_hybrid_search_lexical_plus_vector(spark, sf_dir) -> None:
     assert scores == sorted(scores, reverse=True)
 
 
+def test_hybrid_zero_hit_query_returns_empty(spark) -> None:
+    """A query whose terms appear nowhere in the corpus returns an empty
+    result (the reference's empty FTS result), not a crash in the
+    min-max normalizer."""
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "delta echo foxtrot")],
+        "doc_id long, text string",
+    )
+    out = hybrid_search(
+        spark, docs, query_text="zzz qqq xxx",
+        query_embedding=None, embedding_df=None, limit=5,
+    ).collect()
+    assert out == []
+
+
 def test_lexical_or_retry_expansion(spark) -> None:
     """search_lexical_pipeline.cpp:246-290: a scarce AND query (< 3 base
     hits) retries OR-expanded with the 0.65 score penalty on expanded-only

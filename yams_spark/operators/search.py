@@ -315,6 +315,8 @@ def normalize_bm25(
     rng = scored.agg(
         F.min(score_col).alias("mn"), F.max(score_col).alias("mx")
     ).collect()[0]
+    if rng["mn"] is None:  # zero-hit batch: empty in, empty out, no crash
+        return scored.withColumn("norm_score", F.lit(0.0))
     mn, mx = float(rng["mn"]), float(rng["mx"])
     if mx > mn:
         expr = F.lit(1.0) - (F.col(score_col) - F.lit(mn)) / F.lit(mx - mn)
