@@ -231,6 +231,40 @@ def test_dataflow_twin_matches_scalar(spark):
             assert r.confidence == pytest.approx(c.confidence, abs=2e-6)
 
 
+def test_dataflow_twin_idf_boost(spark):
+    """idf_df reorders anchors (positive-only branch) and the token tier
+    (always-add branch) identically to the scalar's idf_by_token —
+    including a negative idf that must affect tokens but not anchors."""
+    from yams_spark.operators.concept_fallback import fallback_concepts_df
+
+    idf = {"kinase": 2.0, "protein": -0.5, "treatment": 1.5}
+    qs = [
+        "protein kinase activation pathway",
+        "results show 2024 cancer treatment",
+        "CD4 T cell receptor signaling in monocyte differentiation",
+    ]
+    df = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)], "query_id long, query string"
+    )
+    idf_df = spark.createDataFrame(
+        list(idf.items()), "token string, idf double"
+    )
+    rows = fallback_concepts_df(df, max_concepts=8, idf_df=idf_df).orderBy(
+        "query_id", "rank"
+    ).collect()
+    by_q: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    for i, q in enumerate(qs):
+        exp = generate_fallback_query_concepts(q, idf, 8)
+        got = by_q.get(i, [])
+        assert [(r.text, r.type) for r in got] == [
+            (c.text, c.type) for c in exp
+        ], f"query {i}: {q!r}"
+        for r, c in zip(got, exp):
+            assert r.confidence == pytest.approx(c.confidence, abs=2e-6)
+
+
 def test_dataflow_twin_cap_variants(spark):
     """Cap semantics survive the dedup-then-truncate rewrite at small
     and large budgets."""

@@ -308,6 +308,7 @@ def fallback_concepts_df(
     max_concepts: int = 8,
     id_col: str = "query_id",
     query_col: str = "query",
+    idf_df: DataFrame | None = None,
 ) -> DataFrame:
     """Dataflow twin of ``generate_fallback_query_concepts`` — one batch
     of queries in, the ordered fallback concepts out as
@@ -324,6 +325,12 @@ def fallback_concepts_df(
     double here (the scalar twin keeps the reference's float32); outputs
     are rounded to 6 decimals where the two agree bit-for-bit, and the
     equivalence is pinned by tests/test_concept_fallback.py.
+
+    ``idf_df`` (``token``, ``idf``) is the corpus-stats boost the
+    reference threads through (query_expansion.cpp:96-100,258-262):
+    broadcast-joined on the normalized token; anchors add it only when
+    positive, the token tier adds it whenever present — exactly the two
+    reference branches.
     """
     max_phrases = max_concepts
     base = (
@@ -353,9 +360,31 @@ def fallback_concepts_df(
             .otherwise(F.lit(0.0)),
         )
     )
+    if idf_df is not None:
+        tok = tok.join(
+            F.broadcast(
+                idf_df.select(
+                    F.col("token").alias("norm"), F.col("idf").alias("_idf")
+                )
+            ),
+            "norm",
+            "left",
+        )
+    else:
+        tok = tok.withColumn("_idf", F.lit(None).cast("double"))
+    tok = tok.withColumn(
+        # anchors add the idf boost only when positive (cpp :96-100);
+        # the token tier adds it whenever the token is known (:258-262)
+        "anchor_sal",
+        F.col("sal")
+        + F.when(F.col("_idf") > 0, F.col("_idf")).otherwise(F.lit(0.0)),
+    ).withColumn("tok_sal", F.col("sal") + F.coalesce("_idf", F.lit(0.0)))
     # anchors: salience-ranked, stable on token index (cpp :102-103)
     w_anchor = Window.partitionBy("query_id").orderBy(
-        F.col("sal").desc(), F.col("idx").asc()
+        F.col("anchor_sal").desc(), F.col("idx").asc()
+    )
+    w_tokrank = Window.partitionBy("query_id").orderBy(
+        F.col("tok_sal").desc(), F.col("idx").asc()
     )
     anchors = tok.filter(
         (F.col("n") >= 3)
@@ -454,7 +483,7 @@ def fallback_concepts_df(
     )
     t_stream = (
         tok.filter(F.length("norm") >= 2)
-        .withColumn("ord", F.row_number().over(w_anchor))
+        .withColumn("ord", F.row_number().over(w_tokrank))
         .select(
             "query_id", F.lit(1).alias("src"), "ord",
             F.col("orig").alias("text"), F.col("norm").alias("cnorm"),
@@ -462,7 +491,8 @@ def fallback_concepts_df(
                 F.lit(0.2),
                 F.least(
                     F.lit(0.8),
-                    F.lit(0.45) + F.least(F.lit(0.25), F.col("sal") * F.lit(0.02)),
+                    F.lit(0.45)
+                    + F.least(F.lit(0.25), F.col("tok_sal") * F.lit(0.02)),
                 ),
             ).alias("confidence"),
         )
