@@ -2336,6 +2336,94 @@ def q91_fallback_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Synthetic TuningContext fields per document — identical SQL on both
+#: sides; ranges deliberately overrun every clamp/decade/quartile gate.
+_Q92_FIELDS = [
+    ("doc_count_log10", "((doc_id % 17) * 0.5 - 1.0)"),
+    ("code_ratio", "((doc_id % 13) * 0.1)"),
+    ("prose_ratio", "(((doc_id % 7) - 2) * 0.25)"),
+    ("embedding_coverage", "((doc_id % 9) / 8.0)"),
+    ("native_symbol_density", "((doc_id % 25) * 1.0)"),
+    ("path_relative_depth_avg", "((doc_id % 12) * 1.0)"),
+    ("binary_ratio", "((doc_id % 4) * 0.25)"),
+    ("kg_edge_density", "((doc_id % 23) * 1.0)"),
+    ("query_token_count_log2", "((doc_id % 8) * 1.0)"),
+    ("query_has_vector_path", "(doc_id % 2)"),
+    ("query_has_kg_anchors", "(floor(doc_id / 2) % 2)"),
+    ("corpus_epoch", "(doc_id % 5)"),
+    ("topology_epoch", "(doc_id % 3)"),
+]
+_Q92_CTX = ",\n            ".join(f"{sql} AS {name}" for name, sql in _Q92_FIELDS)
+
+
+def q92_tuning_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contextual-bandit feature vector + bucket key
+    (tuning_features.cpp:34-110 via operators/tuning_signals.py): the
+    11-dim [-1,1] featurization and the c/d/e/m/ce/te handoff bucket
+    over one synthetic TuningContext per document — pure per-row
+    Catalyst, zero exchanges."""
+    _ship_package(spark)
+    from yams_spark.operators.tuning_signals import bucketize, featurize
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", *[f"{sql} AS {name}" for name, sql in _Q92_FIELDS]
+    )
+    out = bucketize(featurize(d))
+    return out.select(
+        "doc_id",
+        *[F.round(f"f{i}", 6).cast("double").alias(f"f{i}") for i in range(11)],
+        "bucket",
+    )
+
+
+#: Synthetic reward observations: optional/NaN/infinite labels, infinite
+#: proxy inputs, negative over-budget — every combineReward branch.
+_Q93_FIELDS = [
+    (
+        "label_reward",
+        "CASE doc_id % 5 WHEN 0 THEN NULL WHEN 1 THEN (doc_id % 11) * 0.1"
+        " WHEN 2 THEN CAST('NaN' AS DOUBLE)"
+        " WHEN 3 THEN CAST('Infinity' AS DOUBLE)"
+        " ELSE (doc_id % 7) * 0.2 - 0.3 END",
+    ),
+    (
+        "kg_utility",
+        "CASE WHEN doc_id % 4 = 3 THEN CAST('NaN' AS DOUBLE)"
+        " ELSE (doc_id % 9) * 0.15 END",
+    ),
+    ("freshness_boost", "((doc_id % 6) * 0.1)"),
+    (
+        "agreement_boost",
+        "CASE WHEN doc_id % 7 = 0 THEN CAST('-Infinity' AS DOUBLE)"
+        " ELSE (doc_id % 5) * 0.2 END",
+    ),
+    (
+        "latency_over_budget",
+        "CASE doc_id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 0.15 ELSE -0.5 END",
+    ),
+]
+_Q93_OBS = ",\n            ".join(f"{sql} AS {name}" for name, sql in _Q93_FIELDS)
+
+
+def q93_reward_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-proxy tuning reward (tuning_reward.cpp:26-49 via
+    operators/tuning_signals.combine_reward): non-finite inputs zeroed,
+    0.6/0.2/0.2 proxy blend, over-budget penalty floored at 0, clamp01,
+    and Labels/Mixed/Proxy source attribution."""
+    _ship_package(spark)
+    from yams_spark.operators.tuning_signals import combine_reward
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", *[f"{sql} AS {name}" for name, sql in _Q93_FIELDS]
+    )
+    out = combine_reward(d)
+    return out.select(
+        "doc_id",
+        F.round("reward_value", 6).cast("double").alias("reward_value"),
+        "reward_source",
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3372,6 +3460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full tools/check_entry.py sweep committed as BENCH/SWEEP_rNN.txt."""
     return {
         # --- round-5 additions: newest first, inside the driver window
+        "q92_tuning_features": q92_tuning_features,
+        "q93_reward_combine": q93_reward_combine,
         "q91_fallback_concepts": q91_fallback_concepts,
         "er_semantic_eval": er_semantic_eval,
         "q87_kmeans_topology": q87_kmeans_topology,
@@ -3762,6 +3852,94 @@ def _q68_oracle_sql() -> str:
         SELECT doc_id, CAST(ROUND(score, 6) AS DOUBLE) AS score,
                CAST(rk AS BIGINT) AS "rank"
         FROM r
+    """
+
+
+def _q92_oracle_sql() -> str:
+    """Featurize + bucketize restated in DuckDB over the same synthetic
+    TuningContext rows (tuning_features.cpp:34-110)."""
+
+    def clamp1(x: str) -> str:
+        return f"least(greatest({x}, -1.0), 1.0)"
+
+    def ch(x: str) -> str:
+        return clamp1(f"(least(greatest({x}, 0.0), 1.0) - 0.5) * 2.0")
+
+    feats = [
+        clamp1("doc_count_log10 / 6.0"),
+        ch("code_ratio"),
+        ch("prose_ratio"),
+        ch("embedding_coverage"),
+        clamp1("native_symbol_density / 10.0 - 1.0"),
+        clamp1("path_relative_depth_avg / 10.0"),
+        ch("binary_ratio"),
+        clamp1("kg_edge_density / 10.0 - 1.0"),
+        clamp1("query_token_count_log2 / 6.0"),
+        "CASE WHEN query_has_vector_path <> 0 THEN 1.0 ELSE -1.0 END",
+        "CASE WHEN query_has_kg_anchors <> 0 THEN 1.0 ELSE -1.0 END",
+    ]
+    fsel = ",\n               ".join(
+        f"CAST(ROUND({e}, 6) AS DOUBLE) AS f{i}" for i, e in enumerate(feats)
+    )
+    cr = "least(greatest(code_ratio, 0.0), 1.0)"
+    ec = "least(greatest(embedding_coverage, 0.0), 1.0)"
+    return f"""
+        WITH ctx AS (
+            SELECT doc_id, {_Q92_CTX} FROM documents)
+        SELECT doc_id,
+               {fsel},
+               'c' || CAST(CASE WHEN {cr} < 0.25 THEN 0
+                                WHEN {cr} < 0.5 THEN 1
+                                WHEN {cr} < 0.75 THEN 2
+                                ELSE 3 END AS VARCHAR)
+               || '/d' || CAST(CASE WHEN NOT isfinite(doc_count_log10)
+                                      OR doc_count_log10 <= 0.0 THEN 0
+                                    WHEN floor(doc_count_log10) >= 6.0 THEN 6
+                                    ELSE CAST(floor(doc_count_log10) AS INTEGER)
+                               END AS VARCHAR)
+               || '/e' || CAST(CASE WHEN {ec} < 1.0/3.0 THEN 0
+                                    WHEN {ec} < 2.0/3.0 THEN 1
+                                    ELSE 2 END AS VARCHAR)
+               || '/m' || (CASE WHEN binary_ratio >= 0.5 THEN '1' ELSE '0' END)
+               || '/ce' || CAST(CAST(corpus_epoch AS BIGINT) AS VARCHAR)
+               || '/te' || CAST(CAST(topology_epoch AS BIGINT) AS VARCHAR)
+               AS bucket
+        FROM ctx
+    """
+
+
+def _q93_oracle_sql() -> str:
+    """combineReward restated in DuckDB over the same synthetic
+    observations (tuning_reward.cpp:26-49)."""
+
+    def clean(x: str) -> str:
+        return f"(CASE WHEN isfinite({x}) THEN {x} ELSE 0.0 END)"
+
+    return f"""
+        WITH obs AS (
+            SELECT doc_id, {_Q93_OBS} FROM documents),
+        s AS (
+            SELECT doc_id, label_reward,
+                   greatest(0.0, {clean('latency_over_budget')}) AS overb,
+                   ({clean('kg_utility')} * 0.6
+                    + {clean('freshness_boost')} * 0.2
+                    + {clean('agreement_boost')} * 0.2) AS proxy,
+                   (label_reward IS NOT NULL
+                    AND isfinite(label_reward)) AS has_label
+            FROM obs),
+        v AS (
+            SELECT doc_id, has_label, proxy,
+                   CASE WHEN has_label THEN label_reward - overb
+                        ELSE proxy - overb END AS raw
+            FROM s)
+        SELECT doc_id,
+               CAST(ROUND(CASE WHEN NOT isfinite(raw) OR raw < 0.0 THEN 0.0
+                               ELSE least(raw, 1.0) END, 6) AS DOUBLE)
+                   AS reward_value,
+               CASE WHEN has_label THEN
+                        CASE WHEN proxy > 1e-6 THEN 'mixed' ELSE 'labels' END
+                    ELSE 'proxy' END AS reward_source
+        FROM v
     """
 
 
@@ -5284,6 +5462,8 @@ def oracle_sql() -> dict[str, str]:
         "q68_concept_boost": _q68_oracle_sql(),
         "q69_query_router": _q69_oracle_sql(),
         "q91_fallback_concepts": _q91_oracle_sql(),
+        "q92_tuning_features": _q92_oracle_sql(),
+        "q93_reward_combine": _q93_oracle_sql(),
         "q71_graph_vector": f"""
             WITH {_q65_expansion_cte()},
             pairs2 AS (
