@@ -2424,6 +2424,59 @@ def q93_reward_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Synthetic component evidence for the topology seed stage — hash
+#: collisions across sources, zero/NaN/negative scores, non-seed family.
+_Q94_FIELDS = [
+    (
+        "doc_hash",
+        "CASE WHEN doc_id % 19 = 0 THEN ''"
+        " ELSE concat('h', CAST(doc_id % 40 AS STRING)) END",
+    ),
+    (
+        "source",
+        "CASE doc_id % 7 WHEN 0 THEN 'text' WHEN 1 THEN 'simeon_text'"
+        " WHEN 2 THEN 'graph_text' WHEN 3 THEN 'vector'"
+        " WHEN 4 THEN 'graph_vector' WHEN 5 THEN 'entity_vector'"
+        " ELSE 'path_tree' END",
+    ),
+    (
+        "score",
+        "CASE doc_id % 11 WHEN 0 THEN 0.0 WHEN 1 THEN CAST('NaN' AS DOUBLE)"
+        " WHEN 2 THEN -0.2 ELSE (doc_id % 11) * 0.1 END",
+    ),
+    ("rank", "(doc_id % 13)"),
+]
+_Q94_COMP = ",\n            ".join(f"{sql} AS {name}" for name, sql in _Q94_FIELDS)
+
+
+def q94_topology_seed_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology assist-stage seed admission
+    (search_topology_stage.cpp:26-112 via operators/topo_routing.py):
+    rank-discounted per-doc best weights for the lexical and vector
+    component families, then the tier1-first merge with the
+    vector-added budget."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_routing import (
+        LEXICAL_SEED_SOURCES,
+        VECTOR_SEED_SOURCES,
+        merge_topology_seed_hashes,
+        rank_seed_evidence,
+    )
+
+    comp = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", *[f"{sql} AS {name}" for name, sql in _Q94_FIELDS]
+    )
+    lex = rank_seed_evidence(comp, LEXICAL_SEED_SOURCES, 16)
+    vec = rank_seed_evidence(comp, VECTOR_SEED_SOURCES, 16)
+    out = merge_topology_seed_hashes(lex, vec, max_vector_seeds=5)
+    return out.select(
+        F.col("ord").cast("long").alias("ord"),
+        "doc_hash",
+        "origin",
+        F.round("weight", 6).cast("double").alias("weight"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3462,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions: newest first, inside the driver window
         "q92_tuning_features": q92_tuning_features,
         "q93_reward_combine": q93_reward_combine,
+        "q94_topology_seed_stage": q94_topology_seed_stage,
         "q91_fallback_concepts": q91_fallback_concepts,
         "er_semantic_eval": er_semantic_eval,
         "q87_kmeans_topology": q87_kmeans_topology,
@@ -3940,6 +3994,46 @@ def _q93_oracle_sql() -> str:
                         CASE WHEN proxy > 1e-6 THEN 'mixed' ELSE 'labels' END
                     ELSE 'proxy' END AS reward_source
         FROM v
+    """
+
+
+def _q94_oracle_sql() -> str:
+    """Topology seed stage restated in DuckDB (rank-discounted best
+    weights per family, weight-desc/hash-asc caps, tier1-first merge
+    with the vector-added budget — search_topology_stage.cpp:26-112)."""
+    lex = ", ".join(f"'{s}'" for s in ("text", "simeon_text", "graph_text"))
+    vec = ", ".join(
+        f"'{s}'" for s in ("vector", "graph_vector", "entity_vector")
+    )
+    base = (
+        "SELECT doc_hash,"
+        " max(score / (1.0 + ln(CAST(rank AS DOUBLE) + 2.0))) AS weight"
+        " FROM comp WHERE doc_hash <> '' AND isfinite(score) AND score > 0.0"
+        " AND source IN ({src}) GROUP BY doc_hash"
+        " ORDER BY weight DESC, doc_hash ASC LIMIT 16"
+    )
+    return f"""
+        WITH comp AS (
+            SELECT doc_id, {_Q94_COMP} FROM documents),
+        lex AS ({base.format(src=lex)}),
+        vec AS ({base.format(src=vec)}),
+        t1 AS (
+            SELECT row_number() OVER (ORDER BY weight DESC, doc_hash ASC)
+                       AS ord,
+                   doc_hash, 'tier1' AS origin, weight
+            FROM lex),
+        vadd AS (
+            SELECT row_number() OVER (ORDER BY weight DESC, doc_hash ASC)
+                       AS vord,
+                   doc_hash, weight
+            FROM vec WHERE doc_hash NOT IN (SELECT doc_hash FROM lex))
+        SELECT CAST(ord AS BIGINT) AS ord, doc_hash, origin,
+               CAST(ROUND(weight, 6) AS DOUBLE) AS weight
+        FROM t1
+        UNION ALL
+        SELECT CAST(vord + (SELECT count(*) FROM t1) AS BIGINT), doc_hash,
+               'vector', CAST(ROUND(weight, 6) AS DOUBLE)
+        FROM vadd WHERE vord <= 5
     """
 
 
@@ -5464,6 +5558,7 @@ def oracle_sql() -> dict[str, str]:
         "q91_fallback_concepts": _q91_oracle_sql(),
         "q92_tuning_features": _q92_oracle_sql(),
         "q93_reward_combine": _q93_oracle_sql(),
+        "q94_topology_seed_stage": _q94_oracle_sql(),
         "q71_graph_vector": f"""
             WITH {_q65_expansion_cte()},
             pairs2 AS (

@@ -240,3 +240,57 @@ def test_route_hotzone_boost(spark):
     assert boosted["c1"] == pytest.approx(base["c1"] * (1 + 0.5 * 0.8))
     assert boosted["c0"] == pytest.approx(base["c0"])
     assert boosted["c2"] == pytest.approx(base["c2"])
+
+
+def test_rank_seed_evidence_and_merge(spark):
+    """search_topology_stage.cpp:26-112 — rank-discounted seed weights
+    with skip branches, per-doc max dedup, and the tier1+vector merge
+    with the added-seed budget."""
+    import math
+
+    from yams_spark.operators.topo_routing import (
+        LEXICAL_SEED_SOURCES,
+        VECTOR_SEED_SOURCES,
+        merge_topology_seed_hashes,
+        rank_seed_evidence,
+    )
+
+    nan = float("nan")
+    comp = spark.createDataFrame(
+        [
+            ("a", "text", 0.9, 0),          # w = 0.9/(1+ln 2)
+            ("a", "simeon_text", 0.9, 4),   # lower (worse rank) -> max keeps rank 0
+            ("b", "graph_text", 0.8, 1),
+            ("c", "text", 0.0, 0),          # score <= 0 skips
+            ("d", "text", nan, 0),          # non-finite skips
+            ("", "text", 0.9, 0),           # empty hash skips
+            ("e", "vector", 0.9, 0),        # wrong family for lexical
+            ("a", "vector", 0.95, 0),       # vector seed duplicating tier1
+            ("f", "graph_vector", 0.7, 1),
+            ("g", "entity_vector", 0.6, 0),
+            ("h", "path_tree", 0.9, 0),     # never a topology seed
+        ],
+        "doc_hash string, source string, score double, rank int",
+    )
+    lex = rank_seed_evidence(comp, LEXICAL_SEED_SOURCES, 16)
+    got = {r["doc_hash"]: r["weight"] for r in lex.collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] == pytest.approx(0.9 / (1 + math.log(2.0)))
+    assert got["b"] == pytest.approx(0.8 / (1 + math.log(3.0)))
+    assert [r["doc_hash"] for r in lex.collect()] == ["a", "b"]  # weight order
+    # cap
+    assert rank_seed_evidence(comp, LEXICAL_SEED_SOURCES, 1).count() == 1
+    assert rank_seed_evidence(comp, LEXICAL_SEED_SOURCES, 0).count() == 0
+
+    vec = rank_seed_evidence(comp, VECTOR_SEED_SOURCES, 16)
+    merged = merge_topology_seed_hashes(lex, vec, 2).orderBy("ord").collect()
+    # tier1 first in order, then the 2 best NEW vector seeds ('a' skipped;
+    # g = 0.6/(1+ln2) outranks f = 0.7/(1+ln3) despite the lower score)
+    assert [(r["ord"], r["doc_hash"], r["origin"]) for r in merged] == [
+        (1, "a", "tier1"), (2, "b", "tier1"),
+        (3, "e", "vector"), (4, "g", "vector"),
+    ]
+    # budget 0 adds none; budget 1 adds exactly the best new one
+    assert merge_topology_seed_hashes(lex, vec, 0).count() == 2
+    one = merge_topology_seed_hashes(lex, vec, 1).orderBy("ord").collect()
+    assert [r["doc_hash"] for r in one] == ["a", "b", "e"]

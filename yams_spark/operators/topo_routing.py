@@ -485,3 +485,89 @@ def fingerprint_snapshot(clusters: DataFrame, memberships: DataFrame, **kw) -> s
         for r in mpdf.itertuples(index=False)
     ]
     return construction_fingerprint(cl, mem, **kw)
+
+
+#: runTopologyAssistStage seed admission predicates
+#: (search_topology_stage.cpp:12-22)
+LEXICAL_SEED_SOURCES = ("text", "simeon_text", "graph_text")
+VECTOR_SEED_SOURCES = ("vector", "graph_vector", "entity_vector")
+
+
+def rank_seed_evidence(
+    components: DataFrame,
+    sources: tuple[str, ...] = LEXICAL_SEED_SOURCES,
+    max_seeds: int = 32,
+    id_col: str = "doc_hash",
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Weighted topology seeds from component evidence
+    (``rankSeedEvidence``, search_topology_stage.cpp:26-65): per doc the
+    best rank-discounted weight ``score / (1 + ln(rank + 2))`` over the
+    accepted sources — empty hashes and non-finite or <= 0 scores skip —
+    ordered weight desc / hash asc and capped at ``max_seeds``. One
+    keyed max-agg plus a TakeOrderedAndProject; double precision (the
+    reference folds in float32 — same documented policy as route
+    scoring upstream)."""
+    if max_seeds <= 0:
+        return (
+            components.select(
+                F.col(id_col).alias("doc_hash"), F.lit(0.0).alias("weight")
+            ).limit(0)
+        )
+    w = F.col(score_col) / (
+        F.lit(1.0) + F.log1p(F.col(rank_col).cast("double") + F.lit(1.0))
+    )
+    cand = (
+        components.filter(
+            F.col(id_col).isNotNull()
+            & (F.col(id_col) != "")
+            & F.col(score_col).isNotNull()
+            & ~F.isnan(F.col(score_col))
+            & (F.abs(F.col(score_col)) != F.lit(float("inf")))
+            & (F.col(score_col) > 0.0)
+            & F.col("source").isin(list(sources))
+        )
+        .select(F.col(id_col).alias("doc_hash"), w.alias("w"))
+    )
+    return (
+        cand.groupBy("doc_hash")
+        .agg(F.max("w").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("doc_hash").asc())
+        .limit(int(max_seeds))
+    )
+
+
+def merge_topology_seed_hashes(
+    tier1: DataFrame, vector_seeds: DataFrame, max_vector_seeds: int
+) -> DataFrame:
+    """Enriched seed list (``mergeTopologySeedHashes``,
+    search_topology_stage.cpp:80-112): every tier-1 seed in ranked
+    order, then up to ``max_vector_seeds`` vector seeds NOT already
+    present, in their own ranked order (0 adds none, not unlimited).
+    Inputs are ``rank_seed_evidence`` frames (distinct ``doc_hash`` +
+    ``weight``); output ``(ord, doc_hash, origin, weight)``. The
+    frames are <= max_seeds rows, so the single count() scalar and the
+    range-partitioned ranks are bounded."""
+    from yams_spark.operators.search import global_rank
+
+    order = [F.col("weight").desc(), F.col("doc_hash").asc()]
+    t1 = global_rank(tier1, order, "ord").select(
+        "ord", "doc_hash", F.lit("tier1").alias("origin"), "weight"
+    )
+    if max_vector_seeds <= 0:
+        return t1
+    n1 = t1.count()  # bounded scalar: <= the tier-1 seed cap
+    vadd = global_rank(
+        vector_seeds.join(tier1.select("doc_hash"), "doc_hash", "left_anti"),
+        order,
+        "vord",
+    ).filter(F.col("vord") <= int(max_vector_seeds))
+    return t1.unionByName(
+        vadd.select(
+            (F.col("vord") + F.lit(n1)).alias("ord"),
+            "doc_hash",
+            F.lit("vector").alias("origin"),
+            "weight",
+        )
+    )
