@@ -294,3 +294,23 @@ def test_rank_seed_evidence_and_merge(spark):
     assert merge_topology_seed_hashes(lex, vec, 0).count() == 2
     one = merge_topology_seed_hashes(lex, vec, 1).orderBy("ord").collect()
     assert [r["doc_hash"] for r in one] == ["a", "b", "e"]
+
+
+def test_fill_topology_skip_reason_cascade():
+    """search_topology_stage.cpp:114-140 — every branch in cascade
+    order."""
+    from yams_spark.operators.topo_routing import fill_topology_skip_reason
+
+    f = fill_topology_skip_reason
+    # pre-set reason always wins, even over 'disabled'
+    assert f("epoch_mismatch", "disabled", True, True, True, True, 3) == "epoch_mismatch"
+    assert f("", "disabled", True, True, True, True, 3) == "disabled"
+    assert f("", "weak_query_only", False, True, True, True, 3) == "strong_tier1_query"
+    # weak query under weak_query_only falls through to the store check
+    assert f("", "weak_query_only", True, False, True, True, 3) == "missing_store"
+    assert f("", "always", True, False, True, True, 3) == "missing_store"
+    # applied session: success, reason stays empty
+    assert f("", "always", True, True, True, True, 3) == ""
+    assert f("", "always", True, True, False, True, 3) == "no_added_candidates"
+    assert f("", "always", True, True, False, True, 0) == "no_routes"
+    assert f("", "always", True, True, False, False, 0) == "not_loaded"

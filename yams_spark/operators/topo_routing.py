@@ -571,3 +571,34 @@ def merge_topology_seed_hashes(
             "weight",
         )
     )
+
+
+def fill_topology_skip_reason(
+    skip_reason: str,
+    routing_mode: str,
+    weak_tier1_query: bool,
+    has_stores: bool,
+    session_applied: bool,
+    load_succeeded: bool,
+    routed_clusters: int,
+) -> str:
+    """Routing-skip diagnostics cascade (``fillTopologySkipReason``,
+    search_topology_stage.cpp:114-140): an already-set reason wins; then
+    disabled mode, strong-tier1 short-circuit under weak-query-only
+    mode, missing stores, applied-session success (empty reason), routed
+    clusters that added nothing, and the no-routes / not-loaded tail.
+    Driver-side scalar — it annotates the (single-query) session result,
+    exactly like the router's reason strings."""
+    if skip_reason:
+        return skip_reason
+    if routing_mode == "disabled":
+        return "disabled"
+    if routing_mode == "weak_query_only" and not weak_tier1_query:
+        return "strong_tier1_query"
+    if not has_stores:
+        return "missing_store"
+    if session_applied:
+        return ""
+    if load_succeeded and routed_clusters > 0:
+        return "no_added_candidates"
+    return "no_routes" if load_succeeded else "not_loaded"
