@@ -2477,6 +2477,52 @@ def q94_topology_seed_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Synthetic messy paths: backslashes (chr(92) so both SQL dialects stay
+#: escape-free), doubled slashes, '.' segments, popping and unmatched
+#: '..', trailing separators, empty string, bare root, bare filename —
+#: every lexically_normal branch the C++ goldens pin.
+_Q95_RAW = """
+    CASE doc_id % 12
+        WHEN 0 THEN concat('/corpus/', lang, '//', source, '/./doc_',
+                           CAST(doc_id AS STRING), '.txt')
+        WHEN 1 THEN concat('corpus', chr(92), lang, chr(92), 'doc_',
+                           CAST(doc_id AS STRING))
+        WHEN 2 THEN concat('/corpus/', lang, '/x/../doc_',
+                           CAST(doc_id AS STRING), '.txt')
+        WHEN 3 THEN concat('./corpus/', source, '/doc_',
+                           CAST(doc_id AS STRING), '/')
+        WHEN 4 THEN concat('../shared/', lang, '/doc_',
+                           CAST(doc_id AS STRING))
+        WHEN 5 THEN concat('/corpus/', lang, '/', source, '/..')
+        WHEN 6 THEN 'a/../..'
+        WHEN 7 THEN concat('/../', source, '/doc_',
+                           CAST(doc_id AS STRING), '.html')
+        WHEN 8 THEN concat('corpus/', lang, '/./.')
+        WHEN 9 THEN ''
+        WHEN 10 THEN '/'
+        ELSE concat('doc_', CAST(doc_id AS STRING), '.txt')
+    END
+"""
+
+
+def q95_path_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-derived metadata values (path_utils.cpp:52-68 via
+    functions/pathnorm.py): lexically_normal as one F.aggregate fold,
+    parent prefix, parent/path sha256 hashes, reverse path, and the
+    component-count depth — the six columns every ingest row derives."""
+    _ship_package(spark)
+    from yams_spark.functions.pathnorm import with_path_derived
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q95_RAW).alias("path")
+    )
+    out = with_path_derived(d, "path")
+    return out.select(
+        "doc_id", "path", "normalized_path", "path_prefix", "parent_hash",
+        "reverse_path", "path_hash", F.col("path_depth").cast("int"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3513,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full tools/check_entry.py sweep committed as BENCH/SWEEP_rNN.txt."""
     return {
         # --- round-5 additions: newest first, inside the driver window
+        "q95_path_derived": q95_path_derived,
         "q92_tuning_features": q92_tuning_features,
         "q93_reward_combine": q93_reward_combine,
         "q94_topology_seed_stage": q94_topology_seed_stage,
@@ -4367,6 +4414,83 @@ def _q60_oracle_sql() -> str:
     """
 
 
+def _q95_oracle_sql() -> str:
+    """path_utils.cpp restated independently: the lexically_normal fold
+    as a DuckDB recursive CTE over the '/'-split segments (same
+    (stack, trail) state machine the goldens pin), then parent/hash/
+    reverse/depth projections."""
+    raw = _Q95_RAW.replace("AS STRING", "AS VARCHAR")
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, {raw} AS path FROM documents),
+        prep AS (
+            SELECT doc_id, path, replace(path, chr(92), '/') AS p FROM base),
+        seg AS (
+            SELECT doc_id, path, p, string_split(p, '/') AS segs,
+                   (p LIKE '/%') AS is_abs
+            FROM prep),
+        fold AS (
+            SELECT doc_id, segs, is_abs, 1 AS i,
+                   CAST([] AS VARCHAR[]) AS out, false AS trail
+            FROM seg
+            UNION ALL
+            SELECT doc_id, segs, is_abs, i + 1,
+                CASE
+                    WHEN segs[i] IN ('', '.') THEN out
+                    WHEN segs[i] = '..' AND len(out) > 0 AND out[-1] <> '..'
+                        THEN out[:len(out) - 1]
+                    WHEN segs[i] = '..' AND is_abs THEN out
+                    WHEN segs[i] = '..' THEN list_append(out, '..')
+                    ELSE list_append(out, segs[i])
+                END,
+                CASE
+                    WHEN segs[i] IN ('', '.') THEN true
+                    WHEN segs[i] = '..'
+                         AND ((len(out) > 0 AND out[-1] <> '..') OR is_abs)
+                        THEN true
+                    ELSE false
+                END
+            FROM fold WHERE i <= len(segs)),
+        fin AS (
+            SELECT doc_id, is_abs, out, trail FROM fold
+            WHERE i = len(segs) + 1),
+        bodied AS (
+            SELECT doc_id, is_abs,
+                   (CASE WHEN is_abs THEN '/' ELSE '' END)
+                   || COALESCE(array_to_string(out, '/'), '')
+                   || (CASE WHEN trail AND len(out) > 0 AND out[-1] <> '..'
+                            THEN '/' ELSE '' END) AS body
+            FROM fin),
+        normed AS (
+            SELECT seg.doc_id, seg.path,
+                   CASE WHEN seg.p = '' THEN ''
+                        WHEN b.body = '' THEN
+                            (CASE WHEN b.is_abs THEN '/' ELSE '.' END)
+                        ELSE b.body END AS np
+            FROM seg JOIN bodied b ON seg.doc_id = b.doc_id),
+        derived AS (
+            SELECT doc_id, path, np,
+                   CASE WHEN np = '' THEN ''
+                        WHEN np = '/' THEN '/'
+                        WHEN np LIKE '%/' THEN left(np, length(np) - 1)
+                        WHEN strpos(np, '/') = 0 THEN ''
+                        WHEN regexp_replace(np, '/[^/]*$', '') = '' THEN '/'
+                        ELSE regexp_replace(np, '/[^/]*$', '') END AS prefix,
+                   CASE WHEN np = '' THEN 0
+                        ELSE len(list_filter(string_split(np, '/'),
+                                             x -> x <> ''))
+                             + CASE WHEN np LIKE '/%' THEN 1 ELSE 0 END
+                   END AS depth
+            FROM normed)
+        SELECT doc_id, path, np AS normalized_path, prefix AS path_prefix,
+               CASE WHEN prefix = '' THEN '' ELSE sha256(prefix) END
+                   AS parent_hash,
+               reverse(np) AS reverse_path, sha256(np) AS path_hash,
+               CAST(depth AS INTEGER) AS path_depth
+        FROM derived
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = _TOKENIZE_DUCK.format(col="text")
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
@@ -4394,6 +4518,7 @@ def oracle_sql() -> dict[str, str]:
     from yams_spark.oracle.semantic_mini import eval_oracle_sql
 
     return {
+        "q95_path_derived": _q95_oracle_sql(),
         "er_semantic_eval": eval_oracle_sql(),
         "q87_kmeans_topology": kmeans_oracle_sql(),
         "q88_topology_batch": batch_oracle_sql(),
