@@ -2523,6 +2523,157 @@ def q95_path_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Phase V composer fixture (shared Spark/DuckDB): 6-dim embeddings of
+#: exact 1/8-multiples with per-dim moduli (distinct variances, audited
+#: in test_topo_inputs_fixture), empty every 16th doc; two entity
+#: mentions per doc over a 7-node type table (case folding, the 'date'
+#: filter, NULL/empty types, NULL and sub-threshold confidences); an
+#: 8-element integer MinHash signature. All sums land exactly in double,
+#: so the float32-cast discipline makes both engines bit-identical.
+_Q96_EMB_SPARK = (
+    "CASE WHEN doc_id % 16 = 15 THEN array() ELSE array("
+    "((doc_id*2) % 7) / 8.0d, ((doc_id*3) % 9) / 8.0d,"
+    "((doc_id*4) % 11) / 8.0d, ((doc_id*5) % 13) / 8.0d,"
+    "((doc_id*6) % 15) / 8.0d, ((doc_id*7) % 17) / 8.0d) END"
+)
+_Q96_EMB_DUCK = (
+    "CASE WHEN doc_id % 16 = 15 THEN CAST([] AS DOUBLE[]) ELSE ["
+    "((doc_id*2) % 7) / 8.0, ((doc_id*3) % 9) / 8.0,"
+    "((doc_id*4) % 11) / 8.0, ((doc_id*5) % 13) / 8.0,"
+    "((doc_id*6) % 15) / 8.0, ((doc_id*7) % 17) / 8.0] END"
+)
+_Q96_NODES = [
+    (0, "Org"), (1, "Gene"), (2, "person"), (3, "date"),
+    (4, "org"), (5, ""), (6, None),
+]
+
+
+def q96_composed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase V feature composition (topology_input_extractor.cpp:39-388
+    via operators/topo_inputs.py): matryoshka variance weights (top-3 of
+    6 dims), entity-type fusion (corpus top-3 axes, confidence-weighted,
+    0.45 gate), MinHash bucket-count sketch (dim 4), weighted concat
+    with alpha_d = max(0, 1-0.25-0.10) in float32 — one row per
+    (doc, position) of the composed vector."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_inputs import (
+        FeatureComposition,
+        compose_features,
+        entity_type_index,
+        entity_type_signatures,
+        minhash_bucket_sketch_col,
+        variance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 64")
+    emb = docs.selectExpr("doc_id", f"{_Q96_EMB_SPARK} AS embedding")
+    weights = variance_weights(emb, target_dim=3, order_col="doc_id")
+    nodes = spark.createDataFrame(_Q96_NODES, "node_id long, type string")
+    ents = docs.selectExpr(
+        "doc_id",
+        "explode(array("
+        "named_struct('node_id', doc_id % 7,"
+        "             'confidence', (doc_id % 9) / 8.0d),"
+        "named_struct('node_id', (doc_id + 3) % 7,"
+        "             'confidence', CASE WHEN doc_id % 5 = 0 THEN"
+        "                 CAST(NULL AS DOUBLE)"
+        "                 ELSE ((doc_id % 4) + 3) / 8.0d END))) AS m",
+    ).select("doc_id", "m.node_id", "m.confidence")
+    idx = entity_type_index(ents, nodes, k=3, min_confidence=0.45)
+    esig = entity_type_signatures(ents, nodes, idx, 0.45, k=3)
+    sk = docs.selectExpr(
+        "doc_id",
+        "transform(sequence(0, 7), p -> (cast(doc_id as bigint)"
+        " * 2654435761 + p * 40503) % 4294967296) AS sig",
+    ).select(
+        "doc_id", minhash_bucket_sketch_col(F.col("sig"), 4).alias("minhash_sketch")
+    )
+    cfg = FeatureComposition(
+        enable_entity_fusion=True, entity_signature_k=3,
+        enable_matryoshka=True, matryoshka_target_dim=3,
+        enable_minhash_sketch=True, minhash_sketch_dim=4,
+    )
+    joined = emb.join(esig, "doc_id", "left").join(sk, "doc_id", "left")
+    out = compose_features(joined, cfg, weights=weights)
+    return out.select(
+        "doc_id", F.posexplode("composed").alias("pos", "val")
+    ).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"),
+        F.round("val", 6).cast("double").alias("val"),
+    )
+
+
+#: Neighbor-graph fixture (shared): 40 KG nodes, the first 35 document
+#: nodes; one directed semantic_neighbor edge per doc_id with exact
+#: 1/16-multiple weights and duplicate (src, dst) pairs (max dedup).
+_Q97_EDGE_SPARK = [
+    "(doc_id % 40) + 1 AS src_node_id",
+    "(((doc_id div 40) * 7 + (doc_id % 40) * 3 + 1) % 40) + 1 AS dst_node_id",
+    "cast(((doc_id % 12) + 4) / 16.0d as float) AS weight",
+    "doc_id AS edge_id",
+]
+
+
+def _q97_graph(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+    edges = docs.selectExpr(*_Q97_EDGE_SPARK)
+    nodes = spark.range(1, 41).selectExpr(
+        "id AS node_id",
+        "CASE WHEN id <= 35 THEN concat('doc:h', cast(id as string))"
+        " ELSE concat('ent:x', cast(id as string)) END AS node_key",
+    )
+    return edges, nodes
+
+
+def q97_topology_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology neighbor collection
+    (topology_input_extractor.cpp:432-506 via operators/topo_inputs.py):
+    bidirectional edge view, outgoing max-weight dedup, reciprocal
+    detection, doc:-prefixed destinations only, score-desc/hash-asc
+    order capped at 3 per document."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_inputs import collect_topology_neighbors
+
+    edges, nodes = _q97_graph(spark, sf_dir)
+    out = collect_topology_neighbors(edges, nodes, max_neighbors=3)
+    return out.select(
+        F.col("src_node_id").cast("long").alias("src_node_id"),
+        F.col("neighbor_rank").cast("int").alias("neighbor_rank"),
+        "neighbor_doc_hash",
+        F.round("score", 6).cast("double").alias("score"),
+        "reciprocal",
+    )
+
+
+def q98_protected_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protected-relation observation set
+    (protected_relation_cover.cpp:22-40 via operators/topo_inputs.py):
+    the undirected max-score pair table behind the construction
+    identity — in-corpus + non-self + reciprocal-only + score >= 0.5
+    gates over the q97 neighbor view. The FNV-1a fingerprint over this
+    table is pytest-verified against an independent byte stream
+    (test_topo_inputs)."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_inputs import (
+        collect_topology_neighbors,
+        protected_relation_observations,
+    )
+
+    edges, nodes = _q97_graph(spark, sf_dir)
+    nb = collect_topology_neighbors(edges, nodes, max_neighbors=3)
+    doc_nodes = nodes.where(F.col("node_key").startswith("doc:")).select(
+        F.col("node_id").alias("src_node_id"),
+        F.expr("substring(node_key, 5)").alias("doc_hash"),
+    )
+    nb_hashed = nb.join(doc_nodes, on="src_node_id")
+    obs = protected_relation_observations(
+        nb_hashed, reciprocal_only=True, min_edge_score=0.5
+    )
+    return obs.select(
+        "lhs", "rhs", F.round("score", 6).cast("double").alias("score")
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3560,6 +3711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 additions: newest first, inside the driver window
         "q95_path_derived": q95_path_derived,
+        "q96_composed_features": q96_composed_features,
+        "q97_topology_neighbors": q97_topology_neighbors,
+        "q98_protected_observations": q98_protected_observations,
         "q92_tuning_features": q92_tuning_features,
         "q93_reward_combine": q93_reward_combine,
         "q94_topology_seed_stage": q94_topology_seed_stage,
@@ -4491,6 +4645,202 @@ def _q95_oracle_sql() -> str:
     """
 
 
+def _q96_oracle_sql() -> str:
+    """Phase V composer restated independently: variance weights,
+    matryoshka projection, entity-type index/signature, MinHash bucket
+    sketch and the weighted concat — with CAST(... AS FLOAT) at exactly
+    the points the float32 C++ (and the Spark twin) truncate, so the
+    doubles are bit-identical before ROUND."""
+    nodes = ", ".join(
+        f"({i}, {('NULL' if t is None else repr(t))})" for i, t in _Q96_NODES
+    )
+    f32 = "CAST(CAST({x} AS FLOAT) AS DOUBLE)"
+    norm = (
+        "CASE WHEN {ss} <= 0 THEN {v} ELSE list_transform({v}, "
+        "x -> CAST(CAST(x / " + f32.format(x="sqrt({ss})") + " AS FLOAT)"
+        " AS DOUBLE)) END"
+    )
+    return f"""
+        WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        emb AS (SELECT doc_id, {_Q96_EMB_DUCK} AS e FROM docs),
+        samp AS (SELECT doc_id, e FROM emb WHERE len(e) > 0),
+        pos6 AS (SELECT unnest(generate_series(0, 5)) AS pos),
+        stats AS (
+            SELECT p.pos, AVG(s.e[p.pos + 1]) AS mean,
+                   AVG(s.e[p.pos + 1] * s.e[p.pos + 1]) AS meansq
+            FROM samp s, pos6 p GROUP BY p.pos),
+        vars AS (
+            SELECT pos, GREATEST(meansq - mean * mean, 0.0) AS var
+            FROM stats),
+        wts AS (
+            SELECT pos,
+                   CASE WHEN ROW_NUMBER() OVER (ORDER BY var DESC, pos ASC)
+                             <= 3
+                        THEN {f32.format(x="sqrt(var)")} ELSE 0.0 END AS w
+            FROM vars),
+        coarse AS (
+            SELECT s.doc_id,
+                   list({f32.format(x="s.e[w.pos + 1] * w.w")}
+                        ORDER BY w.pos) AS cv
+            FROM samp s JOIN wts w ON w.w > 0 GROUP BY s.doc_id),
+        dense AS (
+            SELECT doc_id, {norm.format(v="cv", ss="ss")} AS dv
+            FROM (SELECT doc_id, cv,
+                         list_reduce(list_transform(cv, x -> x * x),
+                                     (a, b) -> a + b) AS ss
+                  FROM coarse)),
+        nodes(node_id, typ) AS (VALUES {nodes}),
+        typed AS (
+            SELECT node_id, lower(typ) AS t FROM nodes
+            WHERE typ IS NOT NULL AND lower(typ) <> ''
+              AND lower(typ) NOT IN
+                  ('date', 'time', 'number', 'percentage', 'ordinal')),
+        ments AS (
+            SELECT doc_id, doc_id % 7 AS node_id,
+                   (doc_id % 9) / 8.0 AS conf FROM docs
+            UNION ALL
+            SELECT doc_id, (doc_id + 3) % 7,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE ((doc_id % 4) + 3) / 8.0 END
+            FROM docs),
+        keptm AS (
+            SELECT doc_id, node_id, conf FROM ments
+            WHERE conf IS NULL OR conf >= 0.45),
+        tcount AS (
+            SELECT t, COUNT(*) AS n FROM (
+                SELECT DISTINCT m.doc_id, ty.t
+                FROM keptm m JOIN typed ty ON m.node_id = ty.node_id)
+            GROUP BY t),
+        idx AS (
+            SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) - 1
+                           AS INTEGER) AS ax
+            FROM tcount
+            QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) <= 3),
+        kk AS (SELECT COUNT(*) AS k FROM idx),
+        mass AS (
+            SELECT m.doc_id, i.ax, SUM(COALESCE(m.conf, 1.0)) AS mass
+            FROM keptm m JOIN typed ty ON m.node_id = ty.node_id
+                 JOIN idx i ON ty.t = i.t
+            GROUP BY m.doc_id, i.ax),
+        axpos AS (
+            SELECT unnest(generate_series(
+                0, (SELECT k - 1 FROM kk))) AS ax),
+        esig0 AS (
+            SELECT d.doc_id,
+                   list({f32.format(x="COALESCE(m.mass, 0.0)")}
+                        ORDER BY a.ax) AS sv
+            FROM (SELECT DISTINCT doc_id FROM mass) d
+            CROSS JOIN axpos a
+            LEFT JOIN mass m ON m.doc_id = d.doc_id AND m.ax = a.ax
+            GROUP BY d.doc_id),
+        esig AS (
+            SELECT doc_id, {norm.format(v="sv", ss="ss")} AS ev
+            FROM (SELECT doc_id, sv,
+                         list_reduce(list_transform(sv, x -> x * x),
+                                     (a, b) -> a + b) AS ss
+                  FROM esig0)),
+        sig AS (
+            SELECT d.doc_id, b.b,
+                   CAST(COUNT(*) FILTER (WHERE
+                       ((d.doc_id * 2654435761 + p.p * 40503)
+                        % 4294967296) % 4 = b.b) AS DOUBLE) AS cnt
+            FROM docs d,
+                 (SELECT unnest(generate_series(0, 7)) AS p) p,
+                 (SELECT unnest(generate_series(0, 3)) AS b) b
+            GROUP BY d.doc_id, b.b),
+        sk0 AS (
+            SELECT doc_id, list({f32.format(x="cnt")} ORDER BY b) AS kv
+            FROM sig GROUP BY doc_id),
+        sk AS (
+            SELECT doc_id, {norm.format(v="kv", ss="ss")} AS mv
+            FROM (SELECT doc_id, kv,
+                         list_reduce(list_transform(kv, x -> x * x),
+                                     (a, b) -> a + b) AS ss
+                  FROM sk0)),
+        alphas AS (
+            SELECT d.doc_id, d.dv, e.ev, s.mv,
+                   CASE WHEN e.ev IS NOT NULL
+                        THEN CAST(0.25 AS FLOAT) ELSE 0.0 END AS ae,
+                   CAST(0.1 AS FLOAT) AS am
+            FROM dense d LEFT JOIN esig e ON d.doc_id = e.doc_id
+                 JOIN sk s ON d.doc_id = s.doc_id),
+        composed AS (
+            SELECT doc_id,
+                   list_concat(list_concat(
+                       list_transform(dv,
+                           x -> {f32.format(x="x * ad")}),
+                       list_transform(COALESCE(ev, CAST([] AS DOUBLE[])),
+                           x -> {f32.format(x="x * ae")})),
+                       list_transform(mv,
+                           x -> {f32.format(x="x * am")})) AS comp
+            FROM (SELECT *, CAST(GREATEST(
+                      0.0, CAST(1.0 - ae - am AS FLOAT)) AS DOUBLE) AS ad
+                  FROM alphas))
+        SELECT c.doc_id, CAST(p.pos AS INTEGER) AS pos,
+               CAST(ROUND(c.comp[p.pos + 1], 6) AS DOUBLE) AS val
+        FROM composed c,
+             (SELECT unnest(generate_series(0, 9)) AS pos) p
+        WHERE p.pos < len(c.comp)
+    """
+
+
+_Q97_ORACLE_BASE = """
+    docs AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+    edges AS (
+        SELECT (doc_id % 40) + 1 AS src,
+               (((doc_id // 40) * 7 + (doc_id % 40) * 3 + 1) % 40) + 1 AS dst,
+               CAST(((doc_id % 12) + 4) / 16.0 AS FLOAT) AS w
+        FROM docs),
+    outg AS (
+        SELECT src AS anchor, dst, MAX(w) AS score
+        FROM edges GROUP BY src, dst),
+    inc AS (SELECT DISTINCT dst AS anchor, src AS in_id FROM edges),
+    scored AS (
+        SELECT o.anchor AS src_node_id,
+               'h' || CAST(o.dst AS VARCHAR) AS h, o.score,
+               (i.in_id IS NOT NULL) AS reciprocal
+        FROM outg o
+        LEFT JOIN inc i ON i.anchor = o.anchor AND i.in_id = o.dst
+        WHERE o.dst <= 35),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src_node_id
+            ORDER BY score DESC, h ASC) AS rk
+        FROM scored),
+    capped AS (SELECT * FROM ranked WHERE rk <= 3)
+"""
+
+
+def _q97_oracle_sql() -> str:
+    return f"""
+        WITH {_Q97_ORACLE_BASE}
+        SELECT CAST(src_node_id AS BIGINT) AS src_node_id,
+               CAST(rk AS INTEGER) AS neighbor_rank,
+               h AS neighbor_doc_hash,
+               CAST(ROUND(score, 6) AS DOUBLE) AS score, reciprocal
+        FROM capped
+    """
+
+
+def _q98_oracle_sql() -> str:
+    return f"""
+        WITH {_Q97_ORACLE_BASE},
+        nb AS (
+            SELECT 'h' || CAST(src_node_id AS VARCHAR) AS doc_hash,
+                   h AS nhash, score, reciprocal
+            FROM capped WHERE src_node_id <= 35),
+        corpus AS (SELECT DISTINCT doc_hash FROM nb),
+        gated AS (
+            SELECT * FROM nb
+            WHERE doc_hash <> '' AND nhash <> '' AND doc_hash <> nhash
+              AND reciprocal AND score >= 0.5
+              AND nhash IN (SELECT doc_hash FROM corpus))
+        SELECT LEAST(doc_hash, nhash) AS lhs,
+               GREATEST(doc_hash, nhash) AS rhs,
+               CAST(ROUND(MAX(score), 6) AS DOUBLE) AS score
+        FROM gated GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = _TOKENIZE_DUCK.format(col="text")
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
@@ -4519,6 +4869,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q95_path_derived": _q95_oracle_sql(),
+        "q96_composed_features": _q96_oracle_sql(),
+        "q97_topology_neighbors": _q97_oracle_sql(),
+        "q98_protected_observations": _q98_oracle_sql(),
         "er_semantic_eval": eval_oracle_sql(),
         "q87_kmeans_topology": kmeans_oracle_sql(),
         "q88_topology_batch": batch_oracle_sql(),
