@@ -2674,6 +2674,134 @@ def q98_protected_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Compression-policy fixture (shared SQL): names/mimes/sizes/ages that
+#: drive every cascade branch — already-compressed (mime + extension),
+#: too-new, too-small, type cascade, LZMA/Zstd selection, all three
+#:  reason families. Frequencies are audited in test_compression_entry
+#: to never land on a 1-decimal rounding midpoint (Java HALF_UP vs C
+#: half-even only diverge at exact midpoints).
+_Q99_NOW = 1_700_000_000
+_Q99_FIELDS = [
+    (
+        "name",
+        "CASE doc_id % 8"
+        " WHEN 0 THEN concat('report_', CAST(doc_id AS STRING), '.txt')"
+        " WHEN 1 THEN concat('photo_', CAST(doc_id AS STRING), '.JPG')"
+        " WHEN 2 THEN concat('data_', CAST(doc_id AS STRING), '.json')"
+        " WHEN 3 THEN concat('blob_', CAST(doc_id AS STRING))"
+        " WHEN 4 THEN concat('page_', CAST(doc_id AS STRING), '.html')"
+        " WHEN 5 THEN concat('arch_', CAST(doc_id AS STRING), '.tar.gz')"
+        " WHEN 6 THEN concat('script_', CAST(doc_id AS STRING), '.py')"
+        " ELSE concat('movie_', CAST(doc_id AS STRING), '.mkv') END",
+    ),
+    (
+        "mime_type",
+        "CASE doc_id % 7 WHEN 0 THEN 'text/plain'"
+        " WHEN 1 THEN 'application/zip' WHEN 2 THEN 'IMAGE/PNG'"
+        " WHEN 3 THEN 'application/octet-stream' WHEN 4 THEN 'video/mp4'"
+        " WHEN 5 THEN 'x-custom/bin' ELSE 'Text/HTML' END",
+    ),
+    (
+        "size",
+        "CASE doc_id % 5 WHEN 0 THEN 1000 WHEN 1 THEN 8192"
+        " WHEN 2 THEN 11534336 WHEN 3 THEN 62914560 ELSE 204800 END",
+    ),
+    ("created_ts", f"{_Q99_NOW} - (doc_id % 50) * 90000"),
+    ("last_accessed_ts", f"{_Q99_NOW} - (doc_id % 40) * 72000"),
+    ("access_count", "doc_id % 300"),
+]
+
+
+def q99_compression_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression policy decision cascade
+    (compression_policy.cpp:106-210 via operators/compression.py):
+    already-compressed / too-new / too-small / type-cascade gates, then
+    LZMA-vs-Zstandard selection on total age + access temperature and
+    level selection, with the reference's reason strings (the reason
+    step reuses the since-access age while the algorithm uses total
+    age)."""
+    _ship_package(spark)
+    from yams_spark.operators.compression import compression_decisions
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", *[f"{sql} AS {nm}" for nm, sql in _Q99_FIELDS]
+    )
+    out = compression_decisions(d, now_ts=_Q99_NOW)
+    return out.select(
+        "doc_id", "should_compress", "algorithm",
+        F.col("level").cast("int").alias("level"), "reason",
+    )
+
+
+def _q100_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthetic binary corpus for q100: per-doc byte streams
+    with magic prefixes (gzip/zstd/zlib), uniform-noise, low-diversity
+    and text-like bodies, plus a sub-64-byte tier. The Spark fixture
+    builds real binary columns; the DuckDB oracle restates the same
+    integer formula over lists."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 32 if d % 7 == 6 else 256 + (d % 5) * 512
+                fam = d % 6
+                prefix = {
+                    0: bytes([31, 139]),
+                    3: bytes([40, 181, 47, 253]),
+                    5: bytes([120, 156]),
+                }.get(fam, b"")
+                body = bytearray(prefix)
+                for i in range(len(prefix), n):
+                    if fam == 0:
+                        b = (i * 7 + d) % 13
+                    elif fam in (1, 3):
+                        b = (i * 177 + d * 97) % 256
+                    elif fam == 2:
+                        b = d % 5 if i % 3 == 0 else 0
+                    elif fam == 4:
+                        b = 97 + ((i * d) % 26)
+                    else:
+                        b = (i * 11 + d) % 64
+                    body.append(b)
+                rows.append((d, bytes(body)))
+            yield pd.DataFrame(rows, columns=["doc_id", "data"])
+
+    return docs.mapInPandas(build, "doc_id long, data binary")
+
+
+def q100_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary content analysis (compression_utils.cpp:31-182 via
+    operators/compression.py): zlib CRC-32, the magic-number + Shannon
+    entropy compressed-detection cascade, and the unique-byte diversity
+    ratio estimate for both algorithms — Arrow-batched over a binary
+    column, restated in DuckDB as integer-list folds (table-driven CRC
+    via list_reduce)."""
+    _ship_package(spark)
+    from yams_spark.operators.compression import (
+        crc32_col,
+        estimate_compression_ratio_col,
+        is_likely_compressed_col,
+    )
+
+    media = _q100_media(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        crc32_col("data").alias("crc32"),
+        is_likely_compressed_col("data").alias("likely_compressed"),
+        estimate_compression_ratio_col("data", F.lit("Zstandard")).alias(
+            "ratio_zstd"
+        ),
+        estimate_compression_ratio_col("data", F.lit("LZMA")).alias(
+            "ratio_lzma"
+        ),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3711,6 +3839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 additions: newest first, inside the driver window
         "q95_path_derived": q95_path_derived,
+        "q99_compression_policy": q99_compression_policy,
+        "q100_binary_features": q100_binary_features,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -4841,6 +4971,187 @@ def _q98_oracle_sql() -> str:
     """
 
 
+def _q99_oracle_sql() -> str:
+    """Compression-policy cascade restated in DuckDB: the same gates,
+    algorithm/level rules and printf reason strings (no value in the
+    fixture lands on a 1-decimal rounding midpoint — audited in
+    test_compression_entry)."""
+    fields = ",\n            ".join(
+        f"{sql.replace('AS STRING', 'AS VARCHAR')} AS {nm}"
+        for nm, sql in _Q99_FIELDS
+    )
+    exc_ext = "('.jpg','.jpeg','.png','.gif','.mp4','.mp3','.zip','.gz','.bz2','.7z','.rar','.webm','.mkv','.avi')"
+    exc_mime = "('image/jpeg','image/png','image/webp','image/gif','video/mp4','video/webm','video/x-matroska','audio/mpeg','audio/ogg','audio/wav','application/zip','application/x-7z-compressed','application/x-rar-compressed')"
+    cmp_mime = "('text/plain','text/html','text/css','text/javascript','application/json','application/xml','application/javascript','application/x-yaml','text/markdown','text/csv')"
+    cmp_ext = "('.txt','.log','.json','.xml','.html','.css','.js','.md','.yaml','.yml','.csv','.sql','.py','.cpp','.h')"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+            {fields}
+            FROM documents),
+        derived AS (
+            SELECT doc_id, size,
+                   lower(mime_type) AS ml,
+                   lower(regexp_extract(name, '.+(\\.[^.]+)$', 1)) AS ext,
+                   CAST(floor(({_Q99_NOW} - last_accessed_ts) / 3600)
+                        AS BIGINT) AS age_h,
+                   CAST(floor(({_Q99_NOW} - created_ts) / 3600)
+                        AS BIGINT) AS total_h,
+                   access_count
+            FROM base),
+        scored AS (
+            SELECT *,
+                   CASE WHEN total_h = 0 THEN CAST(access_count AS DOUBLE)
+                        ELSE CAST(access_count AS DOUBLE)
+                             / (CAST(total_h AS DOUBLE) / 24.0) END AS freq,
+                   (ml LIKE '%compressed%' OR ml LIKE '%zip%'
+                    OR ml LIKE '%gzip%' OR ext IN {exc_ext}) AS already,
+                   CASE WHEN ml IN {exc_mime} THEN false
+                        WHEN ext IN {exc_ext} THEN false
+                        WHEN ml IN {cmp_mime} THEN true
+                        WHEN ext IN {cmp_ext} THEN true
+                        ELSE (ml LIKE 'text/%' OR ml LIKE 'application/%')
+                   END AS compressible
+            FROM derived),
+        algo AS (
+            SELECT *,
+                   CASE WHEN total_h >= 720 OR freq <= 0.1 THEN 'LZMA'
+                        WHEN size >= 52428800 AND freq < 0.1 THEN 'LZMA'
+                        ELSE 'Zstandard' END AS algorithm0,
+                   CASE WHEN freq >= 10.0 THEN 'Hot'
+                        WHEN freq <= 0.1 THEN 'Cold'
+                        ELSE 'Warm' END AS temp
+            FROM scored)
+        SELECT doc_id,
+               CASE WHEN already OR age_h < 1 OR size < 4096
+                         OR NOT compressible THEN false
+                    ELSE true END AS should_compress,
+               CASE WHEN already OR age_h < 1 OR size < 4096
+                         OR NOT compressible THEN 'None'
+                    ELSE algorithm0 END AS algorithm,
+               CAST(CASE WHEN already OR age_h < 1 OR size < 4096
+                              OR NOT compressible THEN 0
+                    WHEN algorithm0 = 'LZMA' THEN
+                         CASE WHEN size < 10485760 THEN 5 ELSE 6 END
+                    WHEN freq > 10.0 THEN 1
+                    WHEN total_h >= 720 THEN 9
+                    ELSE 3 END AS INTEGER) AS level,
+               CASE WHEN already
+                        THEN 'Content appears to be already compressed'
+                    WHEN age_h < 1
+                        THEN printf('File too new (%d hours)', age_h)
+                    WHEN size < 4096
+                        THEN printf('File too small (%d bytes)', size)
+                    WHEN NOT compressible
+                        THEN 'File type is not compressible'
+                    WHEN size >= 10485760
+                        THEN printf('Large file (%.1f MB)',
+                                    CAST(size AS DOUBLE) / 1048576)
+                    WHEN age_h >= 720
+                        THEN printf('Old file (%d days)',
+                                    CAST(age_h / 24 AS BIGINT))
+                    ELSE printf('%s file with %.1f accesses/day',
+                                temp, freq)
+               END AS reason
+        FROM algo
+    """
+
+
+def _q100_oracle_sql() -> str:
+    """Binary analyses restated over integer lists: table-driven zlib
+    CRC-32 as a list_reduce fold (table generated here from the public
+    0xEDB88320 definition), magic checks on list heads, Shannon entropy
+    from byte counts, unique-byte diversity buckets."""
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0xEDB88320 if crc & 1 else 0)
+        table.append(crc)
+    tbl = "[" + ",".join(str(x) for x in table) + "]"
+    return f"""
+        WITH docs AS (SELECT doc_id AS d FROM documents),
+        spec AS (
+            SELECT d,
+                   CASE WHEN d % 7 = 6 THEN 32
+                        ELSE 256 + (d % 5) * 512 END AS n,
+                   d % 6 AS fam
+            FROM docs),
+        raw AS (
+            SELECT d, n, fam,
+                   list_transform(generate_series(0, n - 1), i ->
+                       CASE
+                           WHEN fam = 0 AND i < 2 THEN [31, 139][i + 1]
+                           WHEN fam = 3 AND i < 4
+                               THEN [40, 181, 47, 253][i + 1]
+                           WHEN fam = 5 AND i < 2 THEN [120, 156][i + 1]
+                           WHEN fam = 0 THEN (i * 7 + d) % 13
+                           WHEN fam = 1 OR fam = 3
+                               THEN (i * 177 + d * 97) % 256
+                           WHEN fam = 2 THEN
+                               CASE WHEN i % 3 = 0 THEN d % 5 ELSE 0 END
+                           WHEN fam = 4 THEN 97 + ((i * d) % 26)
+                           ELSE (i * 11 + d) % 64
+                       END) AS bs
+            FROM spec),
+        tblc AS (SELECT {tbl} AS t),
+        crc AS (
+            SELECT r.d,
+                   xor(list_reduce(list_prepend(4294967295, r.bs),
+                       (c, b) -> xor(c >> 8, tblc.t[(xor(c, b) & 255) + 1])),
+                       4294967295) AS crc32
+            FROM raw r CROSS JOIN tblc),
+        bytes_tbl AS (SELECT d, unnest(bs) AS b FROM raw),
+        cnts AS (
+            SELECT d, b, COUNT(*) AS c FROM bytes_tbl GROUP BY d, b),
+        ent AS (
+            SELECT c.d,
+                   -SUM((c.c * 1.0 / s.n) * log2(c.c * 1.0 / s.n))
+                       AS entropy
+            FROM cnts c JOIN spec s ON c.d = s.d GROUP BY c.d),
+        uniq AS (
+            SELECT d, COUNT(DISTINCT b) AS u FROM bytes_tbl GROUP BY d),
+        magic AS (
+            SELECT d, n,
+                   (bs[1] = 31 AND bs[2] = 139)
+                   OR (((bs[1] * 256 + bs[2]) & 3840) = 2048
+                       AND (bs[1] * 256 + bs[2]) % 31 = 0)
+                   OR (bs[1] = 80 AND bs[2] = 75 AND bs[3] IN (3, 5, 7)
+                       AND bs[4] IN (4, 6, 8))
+                   OR (n >= 6 AND bs[1] = 55 AND bs[2] = 122
+                       AND bs[3] = 188 AND bs[4] = 175 AND bs[5] = 39
+                       AND bs[6] = 28)
+                   OR (n >= 6 AND bs[1] = 253 AND bs[2] = 55
+                       AND bs[3] = 122 AND bs[4] = 88 AND bs[5] = 90
+                       AND bs[6] = 0)
+                   OR (bs[1] = 66 AND bs[2] = 90 AND bs[3] IN (104, 48))
+                   OR (n >= 4 AND (bs[1] + bs[2] * 256 + bs[3] * 65536
+                                   + bs[4] * 16777216)
+                       IN (4247762216, 683445245)) AS m
+            FROM raw)
+        SELECT s.d AS doc_id,
+               CAST(c.crc32 AS BIGINT) AS crc32,
+               CASE WHEN s.n < 64 THEN false
+                    WHEN m.m THEN true
+                    ELSE e.entropy > 7.5 END AS likely_compressed,
+               CAST(CASE WHEN u.u / 256.0 < 0.1 THEN 10
+                         WHEN u.u / 256.0 < 0.3 THEN 5
+                         WHEN u.u / 256.0 < 0.6 THEN 3
+                         WHEN u.u / 256.0 < 0.9 THEN 2
+                         ELSE 1 END AS INTEGER) AS ratio_zstd,
+               CAST(CASE WHEN u.u / 256.0 < 0.1 THEN 20
+                         WHEN u.u / 256.0 < 0.3 THEN 8
+                         WHEN u.u / 256.0 < 0.6 THEN 4
+                         WHEN u.u / 256.0 < 0.9 THEN 2
+                         ELSE 1 END AS INTEGER) AS ratio_lzma
+        FROM spec s
+        JOIN crc c ON s.d = c.d
+        JOIN ent e ON s.d = e.d
+        JOIN uniq u ON s.d = u.d
+        JOIN magic m ON s.d = m.d
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = _TOKENIZE_DUCK.format(col="text")
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
@@ -4869,6 +5180,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q95_path_derived": _q95_oracle_sql(),
+        "q99_compression_policy": _q99_oracle_sql(),
+        "q100_binary_features": _q100_oracle_sql(),
         "q96_composed_features": _q96_oracle_sql(),
         "q97_topology_neighbors": _q97_oracle_sql(),
         "q98_protected_observations": _q98_oracle_sql(),
