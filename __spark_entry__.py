@@ -2802,6 +2802,66 @@ def q100_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Plain-extraction fixture: ten branches per doc — en/es/fr stopword
+#: sentences (language scores audited untied in test_plain_extract_entry),
+#: a neutral row, substring-trap words, empty, a BOM'd UTF-8 row, a
+#: NUL-carrying binary row, an invalid-UTF-8 row and a Latin-1 row.
+_Q101_TEXTS = {
+    0: "the cat is on the mat and it goes to the den for lots of ",
+    1: "el perro y la casa de que un dia es por con gusto ",
+    2: "le chien est dans une maison pour la route avec bruit ",
+    3: "zzz qwerty ",
+    4: "theme athematic clothes around ",
+    6: "hola el mundo de la casa que es un sitio por aqui ",
+}
+
+
+def q101_plain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text buffer extraction
+    (plain_text_extractor.cpp:76-124 + text_extractor_utils.cpp:11-211
+    via functions/plain_extract.py): binary gate (NUL past index 3 /
+    30% non-printable), strict-vs-lenient UTF-8 walks, BOM encoding
+    detection, and the whole-word stopword language detector with
+    std::to_string confidences."""
+    _ship_package(spark)
+    from yams_spark.functions.plain_extract import extract_plain_text_col
+
+    cases = []
+    for br, txt in _Q101_TEXTS.items():
+        body = (
+            f"encode(concat('{txt}', cast(doc_id as string)), 'UTF-8')"
+        )
+        if br == 6:
+            body = f"concat(X'EFBBBF', {body})"
+        cases.append(f"WHEN {br} THEN {body}")
+    data = (
+        "CASE doc_id % 10 "
+        + " ".join(cases)
+        + " WHEN 5 THEN encode('', 'UTF-8')"
+        + " WHEN 7 THEN concat(encode('abcd', 'UTF-8'), X'00',"
+        "   encode(repeat('x', 64), 'UTF-8'))"
+        + " WHEN 8 THEN concat(encode('bad ', 'UTF-8'), X'C328')"
+        + " ELSE concat(encode('caf', 'UTF-8'), X'E9',"
+        "   encode(' ok', 'UTF-8')) END"
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(data).alias("data")
+    )
+    out = d.select(
+        "doc_id", extract_plain_text_col("data").alias("r")
+    )
+    return out.select(
+        "doc_id",
+        F.col("r.success").alias("success"),
+        F.col("r.error").alias("error"),
+        F.col("r.text").alias("text"),
+        F.col("r.encoding").alias("encoding"),
+        F.col("r.encoding_confidence").alias("encoding_confidence"),
+        F.col("r.language").alias("language"),
+        F.col("r.language_confidence").alias("language_confidence"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3841,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_path_derived": q95_path_derived,
         "q99_compression_policy": q99_compression_policy,
         "q100_binary_features": q100_binary_features,
+        "q101_plain_extract": q101_plain_extract,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -5152,6 +5213,82 @@ def _q100_oracle_sql() -> str:
     """
 
 
+def _q101_oracle_sql() -> str:
+    """Plain extraction restated: per-branch gate outcomes are derived
+    from the fixture spec (the byte-level gates are pinned by the
+    pytest scalar twins); the language scores are re-derived with
+    whole-word regex hits and the reference's scan-order argmax."""
+    words = {lang: ws for lang, ws in (
+        ("en", ("the", "is", "are", "and", "or", "but", "in", "on",
+                "at", "to", "for", "of")),
+        ("es", ("el", "la", "de", "que", "y", "en", "un", "una", "es",
+                "por", "con")),
+        ("fr", ("le", "de", "un", "une", "et", "est", "pour", "dans",
+                "que", "avec")),
+    )}
+    scores = {
+        lang: " + ".join(
+            "(CASE WHEN regexp_matches(lt,"
+            f" '(^|[^a-zA-Z]){w}([^a-zA-Z]|$)') THEN 1 ELSE 0 END)"
+            for w in ws
+        )
+        for lang, ws in words.items()
+    }
+    text_cases = "\n".join(
+        f"WHEN {br} THEN "
+        + (
+            f"chr(65279) || '{txt}' || CAST(doc_id AS VARCHAR)"
+            if br == 6
+            else f"'{txt}' || CAST(doc_id AS VARCHAR)"
+        )
+        for br, txt in _Q101_TEXTS.items()
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, doc_id % 10 AS br,
+                   CASE doc_id % 10
+                   {text_cases}
+                   WHEN 5 THEN ''
+                   ELSE NULL END AS txt
+            FROM documents),
+        scored AS (
+            SELECT doc_id, br, txt, lower(txt) AS lt FROM base),
+        langs AS (
+            SELECT doc_id, br, txt,
+                   {scores['en']} AS s_en,
+                   {scores['es']} AS s_es,
+                   {scores['fr']} AS s_fr
+            FROM scored),
+        lang AS (
+            SELECT doc_id, br, txt,
+                   CASE WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+                        WHEN s_es > s_en THEN 'es'
+                        ELSE 'en' END AS lg,
+                   GREATEST(s_en, s_es, s_fr) AS best
+            FROM langs)
+        SELECT doc_id,
+               br NOT IN (7, 8, 9) AS success,
+               CASE WHEN br = 7
+                        THEN 'Buffer appears to contain binary data'
+                    WHEN br IN (8, 9)
+                        THEN 'Buffer does not contain valid text encoding'
+                    ELSE NULL END AS error,
+               txt AS text,
+               CASE WHEN br IN (7, 8, 9) THEN NULL
+                    ELSE 'UTF-8' END AS encoding,
+               CASE WHEN br IN (7, 8, 9) THEN NULL
+                    WHEN br = 6 THEN '1.000000'
+                    ELSE '0.900000' END AS encoding_confidence,
+               CASE WHEN br IN (5, 7, 8, 9) THEN NULL ELSE lg END
+                   AS language,
+               CASE WHEN br IN (5, 7, 8, 9) THEN NULL
+                    WHEN best > 5 THEN '0.900000'
+                    WHEN best > 2 THEN '0.700000'
+                    ELSE '0.300000' END AS language_confidence
+        FROM lang
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = _TOKENIZE_DUCK.format(col="text")
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
@@ -5182,6 +5319,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_path_derived": _q95_oracle_sql(),
         "q99_compression_policy": _q99_oracle_sql(),
         "q100_binary_features": _q100_oracle_sql(),
+        "q101_plain_extract": _q101_oracle_sql(),
         "q96_composed_features": _q96_oracle_sql(),
         "q97_topology_neighbors": _q97_oracle_sql(),
         "q98_protected_observations": _q98_oracle_sql(),
