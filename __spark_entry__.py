@@ -2862,6 +2862,45 @@ def q101_plain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def archive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive listings over the synthetic archive corpus
+    (archive_content_handler.cpp tier via functions/archive_codecs +
+    operators/multimodal.extract_archive_listing): ZIP central
+    directory, ustar TAR, RFC-1952 GZIP walks and RAR signature rows —
+    rows-only (compressed sizes depend on deflate output; the parsers
+    are stdlib-cross-checked in pytest)."""
+    _ship_package(spark)
+    from yams_spark.operators.multimodal import (
+        extract_archive_listing,
+        synth_archive_table,
+    )
+
+    media = synth_archive_table(spark, n=48)
+    return extract_archive_listing(media)
+
+
+def q102_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive member explode with REAL decompression
+    (functions/archive_codecs via multimodal.explode_archive_members):
+    the Spark side builds ZIP(Deflate/Store)/TAR/GZIP archives, walks
+    their directory structures and inflates every member; the oracle
+    re-derives the member names, sizes and texts from the shared
+    fixture spec — any parse or inflate corruption breaks the hash."""
+    _ship_package(spark)
+    from yams_spark.operators.multimodal import (
+        explode_archive_members,
+        synth_archive_table,
+    )
+
+    media = synth_archive_table(spark, n=48)
+    out = explode_archive_members(media)
+    return out.select(
+        "media_id", "member_name",
+        F.col("member_size").cast("long").alias("member_size"),
+        F.col("member_bytes").cast("string").alias("member_text"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3902,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_compression_policy": q99_compression_policy,
         "q100_binary_features": q100_binary_features,
         "q101_plain_extract": q101_plain_extract,
+        "q102_archive_members": q102_archive_members,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -3973,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "ann_ivf_pq": ann_ivf_pq,
         "media_features": media_features,
+        "archive_features": archive_features,
         "topology_quality": topology_quality,
         # --- substantive stable oracles (behind the window since round 5:
         # q51/q52 were driver-green in BOTH the r3 and r4 windows and stay
@@ -5289,6 +5330,33 @@ def _q101_oracle_sql() -> str:
     """
 
 
+def _q102_oracle_sql() -> str:
+    """Archive members re-derived from the shared fixture spec: ZIP and
+    TAR families carry 1 + i%3 members, GZIP carries only the first,
+    RAR none; body text is the repeated formula string."""
+    return """
+        WITH idx AS (SELECT unnest(generate_series(0, 47)) AS i),
+        fams AS (SELECT i, i % 5 AS fam FROM idx WHERE i % 5 <> 4),
+        members AS (
+            SELECT i, fam, unnest(generate_series(0, i % 3)) AS j
+            FROM fams),
+        kept AS (
+            SELECT i, j FROM members WHERE fam <> 3 OR j = 0),
+        bodies AS (
+            SELECT i, j,
+                   repeat('member ' || CAST(i AS VARCHAR) || '/'
+                          || CAST(j AS VARCHAR) || ' body ',
+                          3 + (i + j) % 5) AS body
+            FROM kept)
+        SELECT printf('a%04d', i) AS media_id,
+               'docs/file_' || CAST(i AS VARCHAR) || '_'
+                   || CAST(j AS VARCHAR) || '.txt' AS member_name,
+               CAST(length(body) AS BIGINT) AS member_size,
+               body AS member_text
+        FROM bodies
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = _TOKENIZE_DUCK.format(col="text")
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
@@ -5320,6 +5388,7 @@ def oracle_sql() -> dict[str, str]:
         "q99_compression_policy": _q99_oracle_sql(),
         "q100_binary_features": _q100_oracle_sql(),
         "q101_plain_extract": _q101_oracle_sql(),
+        "q102_archive_members": _q102_oracle_sql(),
         "q96_composed_features": _q96_oracle_sql(),
         "q97_topology_neighbors": _q97_oracle_sql(),
         "q98_protected_observations": _q98_oracle_sql(),
