@@ -2901,6 +2901,59 @@ def q102_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dim-resolver fixture (shared SQL): model names spanning every table
+#: row plus unknown/empty/multi-marker; config JSONs exercising the
+#: hidden_size > output_embedding_size > dim cascade, the
+#: is_number_integer gate (float/bool rejected) and malformed JSON.
+_Q103_NAME = (
+    "CASE doc_id % 8 WHEN 0 THEN 'all-MiniLM-L6-v2'"
+    " WHEN 1 THEN 'paraphrase-mpnet-base-v2' WHEN 2 THEN 'BGE-Large-en'"
+    " WHEN 3 THEN 'e5-small-v2' WHEN 4 THEN 'custom-model-x'"
+    " WHEN 5 THEN '' WHEN 6 THEN 'minilm-mpnet-hybrid'"
+    " ELSE 'EmbeddingGemma-300m' END"
+)
+_Q103_CFG = (
+    "CASE doc_id % 6"
+    " WHEN 0 THEN '{\"hidden_size\": 384, \"dim\": 9}'"
+    " WHEN 1 THEN '{\"output_embedding_size\": 512}'"
+    " WHEN 2 THEN '{\"dim\": 256}'"
+    " WHEN 3 THEN '{\"dim\": 768.5}'"
+    " WHEN 4 THEN '{bad json'"
+    " ELSE NULL END"
+)
+
+
+def q103_dim_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension resolution (dim_resolver.cpp:11-101 via
+    functions/embed_models.py): the case-folded model-name substring
+    table in check order, the config-JSON field cascade with the
+    integer gate, and the sentinel > generator > default resolution —
+    all zero-exchange Catalyst."""
+    _ship_package(spark)
+    from yams_spark.functions.embed_models import (
+        dim_from_model_config_col,
+        dim_from_model_name_col,
+        resolve_dim_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_Q103_NAME} AS model_name",
+        f"{_Q103_CFG} AS cfg",
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(256 + doc_id % 7 AS INT)"
+        " ELSE CAST(NULL AS INT) END AS sentinel_dim",
+        "CAST(doc_id % 5 AS INT) AS generator_dim",
+    )
+    return d.select(
+        "doc_id", "model_name",
+        dim_from_model_name_col("model_name").alias("name_dim"),
+        dim_from_model_config_col("cfg").alias("config_dim"),
+        resolve_dim_col("sentinel_dim", "generator_dim", 384).alias(
+            "resolved_dim"
+        ),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3942,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_binary_features": q100_binary_features,
         "q101_plain_extract": q101_plain_extract,
         "q102_archive_members": q102_archive_members,
+        "q103_dim_resolver": q103_dim_resolver,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -5330,6 +5384,42 @@ def _q101_oracle_sql() -> str:
     """
 
 
+def _q103_oracle_sql() -> str:
+    """dim_resolver restated: LIKE chain in the reference's check order,
+    json_valid-guarded field cascade with an integer-regex gate (DuckDB
+    TRY_CAST rounds '768.5'; the C++ is_number_integer does not), and
+    the COALESCE resolution."""
+    from yams_spark.functions.embed_models import MODEL_DIM_TABLE
+
+    chain = " ".join(
+        f"WHEN lower(model_name) LIKE '%{marker}%' THEN {dim}"
+        for marker, dim in MODEL_DIM_TABLE
+    )
+    jget = (
+        "CASE WHEN json_valid(cfg) AND regexp_matches("
+        "COALESCE(json_extract_string(cfg, '$.{k}'), ''), '^-?[0-9]+$')"
+        " THEN CAST(json_extract_string(cfg, '$.{k}') AS INTEGER) END"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_Q103_NAME} AS model_name, {_Q103_CFG} AS cfg,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(256 + doc_id % 7 AS INTEGER) END
+                       AS sentinel_dim,
+                   CAST(doc_id % 5 AS INTEGER) AS generator_dim
+            FROM documents)
+        SELECT doc_id, model_name,
+               CAST(CASE {chain} END AS INTEGER) AS name_dim,
+               CAST(COALESCE({jget.replace('{k}', 'hidden_size')},
+                    {jget.replace('{k}', 'output_embedding_size')},
+                    {jget.replace('{k}', 'dim')}) AS INTEGER) AS config_dim,
+               CAST(COALESCE(sentinel_dim,
+                    CASE WHEN generator_dim > 0 THEN generator_dim END,
+                    384) AS INTEGER) AS resolved_dim
+        FROM base
+    """
+
+
 def _q102_oracle_sql() -> str:
     """Archive members re-derived from the shared fixture spec: ZIP and
     TAR families carry 1 + i%3 members, GZIP carries only the first,
@@ -5389,6 +5479,7 @@ def oracle_sql() -> dict[str, str]:
         "q100_binary_features": _q100_oracle_sql(),
         "q101_plain_extract": _q101_oracle_sql(),
         "q102_archive_members": _q102_oracle_sql(),
+        "q103_dim_resolver": _q103_oracle_sql(),
         "q96_composed_features": _q96_oracle_sql(),
         "q97_topology_neighbors": _q97_oracle_sql(),
         "q98_protected_observations": _q98_oracle_sql(),
