@@ -2954,6 +2954,65 @@ def q103_dim_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GLiNER raw-entity fixture: four model mentions per query —
+#: punct-wrapped surfaces, alias-typed duplicates of the same
+#: normalized key (dedup + tie), numeric/date/low-confidence noise,
+#: and a type outside the requested set.
+_Q104_TYPE0 = (
+    "CASE doc_id % 8 WHEN 0 THEN 'Technology' WHEN 1 THEN 'ORG'"
+    " WHEN 2 THEN 'protein' WHEN 3 THEN 'Tool' WHEN 4 THEN 'library'"
+    " WHEN 5 THEN 'person' WHEN 6 THEN 'weird_type' ELSE 'concept' END"
+)
+_Q104_TYPE1 = (
+    "CASE doc_id % 8 WHEN 0 THEN 'tool' WHEN 1 THEN 'company'"
+    " WHEN 2 THEN 'Protein' WHEN 3 THEN 'technology'"
+    " WHEN 4 THEN 'framework' WHEN 5 THEN 'Person'"
+    " WHEN 6 THEN 'organism' ELSE 'place' END"
+)
+
+
+def q104_gliner_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLiNER query-concept post-processing
+    (gliner_query_extractor.cpp:19-187 + query_text_utils.cpp:115-233
+    via operators/gliner_concepts.py): punct trim, type
+    canonicalization with the alias map, the 0.4 confidence floor and
+    noise gates, requested-type filtering, first-wins best-confidence
+    dedup on type|normalized-text, and the final rank ordering."""
+    _ship_package(spark)
+    from yams_spark.operators.gliner_concepts import gliner_query_concepts
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS query_id",
+        f"""explode(array(
+            named_struct('entity_idx', 0,
+                'entity_text', concat('  (Alpha', cast(doc_id % 40 as string), ')  '),
+                'entity_type', {_Q104_TYPE0},
+                'confidence', (doc_id % 13) / 16.0d),
+            named_struct('entity_idx', 1,
+                'entity_text', concat('alpha', cast(doc_id % 40 as string)),
+                'entity_type', {_Q104_TYPE1},
+                'confidence', (doc_id % 11) / 16.0d),
+            named_struct('entity_idx', 2,
+                'entity_text', CASE WHEN doc_id % 2 = 0 THEN '42' ELSE '420' END,
+                'entity_type', 'concept',
+                'confidence', 0.5d),
+            named_struct('entity_idx', 3,
+                'entity_text', concat('May ', cast(doc_id % 28 as string)),
+                'entity_type', 'Date',
+                'confidence', 0.9d))) AS m""",
+    ).select(
+        "query_id", "m.entity_idx", "m.entity_text", "m.entity_type",
+        "m.confidence",
+    )
+    out = gliner_query_concepts(d)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "concept_text", "concept_type",
+        F.round("confidence", 6).cast("double").alias("confidence"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -3996,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_plain_extract": q101_plain_extract,
         "q102_archive_members": q102_archive_members,
         "q103_dim_resolver": q103_dim_resolver,
+        "q104_gliner_concepts": q104_gliner_concepts,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -5384,6 +5444,95 @@ def _q101_oracle_sql() -> str:
     """
 
 
+def _q104_oracle_sql() -> str:
+    """GLiNER cascade restated: the same fixture structs, punct/ws
+    regexes, alias CASE chain, gates, first-wins dedup and rank —
+    requested set = the canonicalized default type list."""
+    from yams_spark.operators.gliner_concepts import (
+        DEFAULT_QUERY_ENTITY_TYPES,
+        canonicalize_entity_type_py,
+    )
+
+    requested = sorted(
+        {canonicalize_entity_type_py(t) for t in DEFAULT_QUERY_ENTITY_TYPES}
+    )
+    req = ", ".join(f"'{t}'" for t in requested)
+    punct = r"[!-,./:-@\[-\^`{-~]"
+    ws = "[ \\t\\n\\x0b\\f\\r]"
+    canon = """
+        CASE WHEN nt IN ('org', 'company', 'institution')
+                 THEN 'organization'
+             WHEN nt IN ('loc', 'place') THEN 'location'
+             WHEN nt IN ('tool', 'technology') THEN 'method'
+             WHEN nt = 'library' THEN 'framework'
+             WHEN nt = '' THEN 'concept'
+             ELSE nt END
+    """
+    return f"""
+        WITH raw AS (
+            SELECT doc_id AS query_id, u.* FROM documents, UNNEST([
+                {{'entity_idx': 0,
+                  'entity_text': '  (Alpha' || CAST(doc_id % 40 AS VARCHAR) || ')  ',
+                  'entity_type': {_Q104_TYPE0.replace("as string", "AS VARCHAR")},
+                  'confidence': (doc_id % 13) / 16.0}},
+                {{'entity_idx': 1,
+                  'entity_text': 'alpha' || CAST(doc_id % 40 AS VARCHAR),
+                  'entity_type': {_Q104_TYPE1.replace("as string", "AS VARCHAR")},
+                  'confidence': (doc_id % 11) / 16.0}},
+                {{'entity_idx': 2,
+                  'entity_text': CASE WHEN doc_id % 2 = 0 THEN '42' ELSE '420' END,
+                  'entity_type': 'concept', 'confidence': 0.5}},
+                {{'entity_idx': 3,
+                  'entity_text': 'May ' || CAST(doc_id % 28 AS VARCHAR),
+                  'entity_type': 'Date', 'confidence': 0.9}}
+            ]) AS u(x)),
+        flat AS (
+            SELECT query_id, x.entity_idx AS entity_idx,
+                   x.entity_text AS entity_text,
+                   x.entity_type AS entity_type,
+                   x.confidence AS confidence
+            FROM raw),
+        trimmed AS (
+            SELECT *, regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(entity_text,
+                           '^{ws}+|{ws}+$', '', 'g'),
+                           '{ws}+', ' ', 'g'),
+                       '^{punct}+', ''), '{punct}+$', '') AS txt,
+                   lower(trim(regexp_replace(entity_type, '{ws}+', ' ',
+                                             'g'))) AS nt
+            FROM flat),
+        typed AS (
+            SELECT *, {canon} AS ct,
+                   lower(txt) AS norm
+            FROM trimmed),
+        kept AS (
+            SELECT * FROM typed
+            WHERE confidence >= 0.4 AND txt <> ''
+              AND length(txt) BETWEEN 2 AND 160
+              AND regexp_matches(txt, '[0-9A-Za-z]')
+              AND norm <> ''
+              AND ct NOT IN ('date', 'time', 'duration', 'number',
+                             'percentage', 'ordinal')
+              AND NOT (NOT regexp_matches(txt, '[A-Za-z]')
+                       AND length(txt) <= 2)
+              AND ct IN ({req})),
+        dedup AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id, ct || '|' || norm
+                ORDER BY confidence DESC, entity_idx ASC) AS dup
+            FROM kept),
+        ranked AS (
+            SELECT query_id, txt, ct, confidence,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY confidence DESC, txt ASC, ct ASC) AS rk
+            FROM dedup WHERE dup = 1)
+        SELECT query_id, CAST(rk AS INTEGER) AS rank,
+               txt AS concept_text, ct AS concept_type,
+               CAST(ROUND(confidence, 6) AS DOUBLE) AS confidence
+        FROM ranked
+    """
+
+
 def _q103_oracle_sql() -> str:
     """dim_resolver restated: LIKE chain in the reference's check order,
     json_valid-guarded field cascade with an integer-regex gate (DuckDB
@@ -5480,6 +5629,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_plain_extract": _q101_oracle_sql(),
         "q102_archive_members": _q102_oracle_sql(),
         "q103_dim_resolver": _q103_oracle_sql(),
+        "q104_gliner_concepts": _q104_oracle_sql(),
         "q96_composed_features": _q96_oracle_sql(),
         "q97_topology_neighbors": _q97_oracle_sql(),
         "q98_protected_observations": _q98_oracle_sql(),
