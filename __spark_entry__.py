@@ -3013,6 +3013,47 @@ def q104_gliner_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Wire-header fixture: every validate() branch — wrong magic, future
+#: version, unknown algorithm, zero sizes, the integer-division 2x
+#: bound (incl. the 201/100 edge that IS valid), the level-22 cap.
+_Q105_FIELDS = [
+    ("magic", "CASE WHEN doc_id % 11 = 1 THEN 4369"
+     " ELSE 1263685187 END"),
+    ("version", "CASE WHEN doc_id % 11 = 2 THEN 2"
+     " WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END"),
+    ("algorithm_id", "CASE WHEN doc_id % 11 = 3 THEN 3"
+     " ELSE doc_id % 3 END"),
+    ("level", "CASE WHEN doc_id % 11 = 4 THEN 23 ELSE doc_id % 23 END"),
+    ("uncompressed_size", "CASE WHEN doc_id % 11 = 5 THEN 0"
+     " ELSE 100 + doc_id % 400 END"),
+    ("compressed_size", "CASE WHEN doc_id % 11 = 6 THEN 0"
+     " WHEN doc_id % 11 = 7 THEN 2 * (100 + doc_id % 400) + 1"
+     " WHEN doc_id % 11 = 8 THEN 2 * (100 + doc_id % 400) + 2"
+     " ELSE 40 + doc_id % 200 END"),
+]
+
+
+def q105_header_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression wire-header validation
+    (compression_header.cpp:51-86 via operators/compression.py): magic,
+    version ceiling, known-algorithm, the overflow-safe integer-division
+    2x size rule and the zstd level cap, as one Catalyst predicate over
+    a parsed-header table (pack/parse round-trips are pytest-pinned)."""
+    _ship_package(spark)
+    from yams_spark.operators.compression import (
+        validate_compression_header_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", *[f"{sql} AS {nm}" for nm, sql in _Q105_FIELDS]
+    )
+    return d.select(
+        "doc_id",
+        *[F.col(nm).cast("long").alias(nm) for nm, _ in _Q105_FIELDS],
+        validate_compression_header_col().alias("header_valid"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4056,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_archive_members": q102_archive_members,
         "q103_dim_resolver": q103_dim_resolver,
         "q104_gliner_concepts": q104_gliner_concepts,
+        "q105_header_validate": q105_header_validate,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -5444,6 +5486,25 @@ def _q101_oracle_sql() -> str:
     """
 
 
+def _q105_oracle_sql() -> str:
+    fields = ",\n               ".join(
+        f"CAST({sql} AS BIGINT) AS {nm}" for nm, sql in _Q105_FIELDS
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+               {fields}
+            FROM documents)
+        SELECT *,
+               (magic = 1263685187 AND version <= 1 AND algorithm_id <= 2
+                AND (algorithm_id = 0 OR (compressed_size <> 0
+                     AND uncompressed_size <> 0
+                     AND NOT (compressed_size // 2 > uncompressed_size)))
+                AND level <= 22) AS header_valid
+        FROM base
+    """
+
+
 def _q104_oracle_sql() -> str:
     """GLiNER cascade restated: the same fixture structs, punct/ws
     regexes, alias CASE chain, gates, first-wins dedup and rank —
@@ -5630,6 +5691,7 @@ def oracle_sql() -> dict[str, str]:
         "q102_archive_members": _q102_oracle_sql(),
         "q103_dim_resolver": _q103_oracle_sql(),
         "q104_gliner_concepts": _q104_oracle_sql(),
+        "q105_header_validate": _q105_oracle_sql(),
         "q96_composed_features": _q96_oracle_sql(),
         "q97_topology_neighbors": _q97_oracle_sql(),
         "q98_protected_observations": _q98_oracle_sql(),

@@ -264,3 +264,72 @@ def test_estimate_compression_ratio(spark):
         ).collect()
     }
     assert got == {n: w for n, _, _, w in cases}
+
+
+def test_compression_header_roundtrip_and_validate(spark):
+    from yams_spark.operators.compression import (
+        HEADER_MAGIC,
+        HEADER_SIZE,
+        pack_compression_header,
+        parse_compression_header,
+        validate_compression_header_col,
+        validate_compression_header_py,
+    )
+
+    blob = pack_compression_header(
+        algorithm="Zstandard", level=3, uncompressed_size=1000,
+        compressed_size=400, uncompressed_crc32=0xDEADBEEF,
+        compressed_crc32=0x12345678, timestamp=1_700_000_000,
+    )
+    assert len(blob) == HEADER_SIZE == 64
+    assert blob[:4] == b"CNRK"  # 0x4B524E43 little-endian
+    h = parse_compression_header(blob + b"payload")
+    assert h["algorithm"] == "Zstandard" and h["level"] == 3
+    assert h["uncompressed_size"] == 1000 and h["compressed_size"] == 400
+    assert h["uncompressed_crc32"] == 0xDEADBEEF
+    assert h["timestamp"] == 1_700_000_000
+
+    with pytest.raises(ValueError, match="Insufficient"):
+        parse_compression_header(b"short")
+    with pytest.raises(ValueError, match="Invalid"):
+        parse_compression_header(
+            pack_compression_header(magic=0x1111, algorithm="LZMA",
+                                    uncompressed_size=1, compressed_size=1)
+        )
+
+    # validate() branch battery, scalar == column
+    rows = [
+        # (magic, version, algo, level, usize, csize, want)
+        (HEADER_MAGIC, 1, 1, 3, 1000, 400, True),
+        (0x1111, 1, 1, 3, 1000, 400, False),       # magic
+        (HEADER_MAGIC, 2, 1, 3, 1000, 400, False), # future version
+        (HEADER_MAGIC, 0, 1, 3, 1000, 400, True),  # older version ok
+        (HEADER_MAGIC, 1, 3, 3, 1000, 400, False), # unknown algorithm
+        (HEADER_MAGIC, 1, 0, 0, 0, 0, True),       # None: sizes free
+        (HEADER_MAGIC, 1, 1, 3, 0, 400, False),    # zero uncompressed
+        (HEADER_MAGIC, 1, 1, 3, 1000, 0, False),   # zero compressed
+        # integer division: 201/2 = 100, not > 100 -> still valid
+        (HEADER_MAGIC, 1, 1, 3, 100, 201, True),
+        (HEADER_MAGIC, 1, 1, 3, 100, 202, False),  # 101 > 100
+        (HEADER_MAGIC, 1, 1, 3, 100, 200, True),   # exactly 2x is fine
+        (HEADER_MAGIC, 1, 1, 23, 1000, 400, False),  # level cap
+        (HEADER_MAGIC, 1, 2, 22, 1000, 400, True),
+    ]
+    for m, v, a, lv, us, cs, want in rows:
+        h = {
+            "magic": m, "version": v, "algorithm_id": a, "level": lv,
+            "uncompressed_size": us, "compressed_size": cs,
+        }
+        assert validate_compression_header_py(h) == want, h
+    df = spark.createDataFrame(
+        [r[:6] for r in rows],
+        "magic long, version int, algorithm_id int, level int, "
+        "uncompressed_size long, compressed_size long",
+    )
+    got = [
+        r["ok"]
+        for r in df.select(
+            validate_compression_header_col().alias("ok")
+        ).collect()
+    ]
+    assert got == [r[6] for r in rows]

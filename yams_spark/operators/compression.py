@@ -430,3 +430,124 @@ def estimate_compression_ratio_col(
         return pd.Series(out)
 
     return _ratio(d, a)
+
+
+# ---------------------------------------------------------------------------
+# Wire header (compression_header.cpp / compression_header.h)
+# ---------------------------------------------------------------------------
+
+#: compression_header.h:33-52 — #pragma pack(1), 64 bytes little-endian.
+HEADER_MAGIC = 0x4B524E43  # "KRNC"
+HEADER_VERSION = 1
+HEADER_SIZE = 64
+_HEADER_FMT = "<IBBBBIQQIIQQ12s"
+
+_ALGO_NAMES = {0: "None", 1: "Zstandard", 2: "LZMA"}
+_ALGO_IDS = {v: k for k, v in _ALGO_NAMES.items()}
+
+
+def pack_compression_header(
+    algorithm: str = "None",
+    level: int = 0,
+    uncompressed_size: int = 0,
+    compressed_size: int = 0,
+    uncompressed_crc32: int = 0,
+    compressed_crc32: int = 0,
+    timestamp: int = 0,
+    dictionary_id: int = 0,
+    flags: int = 0,
+    magic: int = HEADER_MAGIC,
+    version: int = HEADER_VERSION,
+) -> bytes:
+    """serialize() / fromResult() (compression_header.cpp:46-108):
+    the packed little-endian 64-byte wire header."""
+    import struct as _struct
+
+    return _struct.pack(
+        _HEADER_FMT, magic, version, _ALGO_IDS.get(algorithm, 0), level,
+        flags, 0, uncompressed_size, compressed_size, uncompressed_crc32,
+        compressed_crc32, timestamp, dictionary_id, b"\0" * 12,
+    )
+
+
+def parse_compression_header(data: bytes) -> dict:
+    """parse() (compression_header.cpp:25-44): raises ValueError on a
+    short buffer or a header that fails validate()."""
+    import struct as _struct
+
+    if len(data) < HEADER_SIZE:
+        raise ValueError(
+            f"Insufficient data for header: {len(data)} bytes, "
+            f"need {HEADER_SIZE}"
+        )
+    (
+        magic, version, algorithm, level, flags, _res1, usize, csize,
+        ucrc, ccrc, ts, dict_id, _res2,
+    ) = _struct.unpack(_HEADER_FMT, data[:HEADER_SIZE])
+    header = {
+        "magic": magic, "version": version,
+        "algorithm": _ALGO_NAMES.get(algorithm, str(algorithm)),
+        "algorithm_id": algorithm, "level": level, "flags": flags,
+        "uncompressed_size": usize, "compressed_size": csize,
+        "uncompressed_crc32": ucrc, "compressed_crc32": ccrc,
+        "timestamp": ts, "dictionary_id": dict_id,
+    }
+    if not validate_compression_header_py(header):
+        raise ValueError("Invalid compression header")
+    return header
+
+
+def validate_compression_header_py(h: dict) -> bool:
+    """validate() (compression_header.cpp:51-86): magic, version,
+    known algorithm, the compressed<=2x-uncompressed rule via integer
+    division (overflow-safe on corrupt headers), zstd level cap 22."""
+    if h["magic"] != HEADER_MAGIC:
+        return False
+    if h["version"] > HEADER_VERSION:
+        return False
+    algo = h.get("algorithm_id", _ALGO_IDS.get(h.get("algorithm"), 255))
+    if algo > 2:
+        return False
+    if algo != 0:
+        if h["compressed_size"] == 0 or h["uncompressed_size"] == 0:
+            return False
+        if h["compressed_size"] // 2 > h["uncompressed_size"]:
+            return False
+    if h["level"] > 22:
+        return False
+    return True
+
+
+def validate_compression_header_col(
+    magic="magic", version="version", algorithm_id="algorithm_id",
+    level="level", uncompressed_size="uncompressed_size",
+    compressed_size="compressed_size",
+):
+    """validate() as one Catalyst predicate over a parsed-header table
+    (the shape a 100 TB store audit scans)."""
+    m = F.col(magic) if isinstance(magic, str) else magic
+    v = F.col(version) if isinstance(version, str) else version
+    a = F.col(algorithm_id) if isinstance(algorithm_id, str) else algorithm_id
+    lv = F.col(level) if isinstance(level, str) else level
+    us = (
+        F.col(uncompressed_size)
+        if isinstance(uncompressed_size, str)
+        else uncompressed_size
+    )
+    cs = (
+        F.col(compressed_size)
+        if isinstance(compressed_size, str)
+        else compressed_size
+    )
+    # shiftright = exact integer /2 (the C++ overflow-safe division);
+    # floor(cs/2.0) would lose precision past 2^53 on corrupt headers.
+    size_ok = (a == 0) | (
+        (cs != 0) & (us != 0) & ~(F.shiftright(cs, 1) > us)
+    )
+    return (
+        (m == F.lit(HEADER_MAGIC))
+        & (v <= F.lit(HEADER_VERSION))
+        & (a <= 2)
+        & size_ok
+        & (lv <= 22)
+    )
