@@ -3054,6 +3054,30 @@ def q105_header_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q106_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark latency statistics (internal_benchmark.cpp:19-74 via
+    operators/bench_history.latency_stats): per-group count/min/max/
+    mean, even-count-average median, linear-interpolation p95/p99 on
+    the (n-1)*p rule, and the sample stddev — over the events table
+    keyed by event_type."""
+    _ship_package(spark)
+    from yams_spark.operators.bench_history import latency_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("latency_ms")
+    )
+    out = latency_stats(ev, group_cols=("event_type",))
+    return out.select(
+        "event_type",
+        F.col("sample_count").cast("long").alias("sample_count"),
+        *[
+            F.round(c, 6).cast("double").alias(c)
+            for c in ("min_ms", "max_ms", "mean_ms", "median_ms",
+                      "p95_ms", "p99_ms", "stddev_ms")
+        ],
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4098,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_dim_resolver": q103_dim_resolver,
         "q104_gliner_concepts": q104_gliner_concepts,
         "q105_header_validate": q105_header_validate,
+        "q106_latency_stats": q106_latency_stats,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -5692,6 +5717,21 @@ def oracle_sql() -> dict[str, str]:
         "q103_dim_resolver": _q103_oracle_sql(),
         "q104_gliner_concepts": _q104_oracle_sql(),
         "q105_header_validate": _q105_oracle_sql(),
+        "q106_latency_stats": """
+            SELECT event_type, CAST(COUNT(value) AS BIGINT) AS sample_count,
+                   CAST(ROUND(MIN(value), 6) AS DOUBLE) AS min_ms,
+                   CAST(ROUND(MAX(value), 6) AS DOUBLE) AS max_ms,
+                   CAST(ROUND(AVG(value), 6) AS DOUBLE) AS mean_ms,
+                   CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE)
+                       AS median_ms,
+                   CAST(ROUND(quantile_cont(value, 0.95), 6) AS DOUBLE)
+                       AS p95_ms,
+                   CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE)
+                       AS p99_ms,
+                   CAST(ROUND(COALESCE(stddev_samp(value), 0.0), 6)
+                        AS DOUBLE) AS stddev_ms
+            FROM events GROUP BY event_type
+        """,
         "q96_composed_features": _q96_oracle_sql(),
         "q97_topology_neighbors": _q97_oracle_sql(),
         "q98_protected_observations": _q98_oracle_sql(),
