@@ -3078,6 +3078,60 @@ def q106_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_wal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL record framing (wal_entry.cpp:92-220 via
+    streaming/wal_codec.py): one StoreBlock entry per document is
+    encoded (48-byte padded header + char[32]-truncated hash payload +
+    zlib CRC over the zero-checksum bytes) and decoded back; the oracle
+    rebuilds the exact byte stream in SQL and folds the CRC itself, so
+    a single byte of drift in the layout breaks the hash."""
+    _ship_package(spark)
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        from yams_spark.streaming.wal_codec import (
+            decode_store_block,
+            decode_wal_entry,
+            encode_store_block,
+            encode_wal_entry,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h = f"{(d * 2654435761) & ((1 << 128) - 1):032x}"
+                payload = encode_store_block(h, 100 + d % 900, 1 + d % 5)
+                blob = encode_wal_entry(
+                    "StoreBlock", sequence_num=d + 1,
+                    transaction_id=d % 97, payload=payload,
+                    timestamp=1_700_000_000_000_000 + d,
+                )
+                e = decode_wal_entry(blob)
+                sb = decode_store_block(e["data"])
+                rows.append((
+                    d, e["sequence_num"], e["timestamp"],
+                    e["transaction_id"], e["op"], e["data_size"],
+                    e["checksum"], sb["hash"], sb["size"],
+                    sb["ref_count"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sequence_num", "timestamp",
+                         "transaction_id", "op", "data_size", "checksum",
+                         "block_hash", "block_size", "ref_count"],
+            )
+
+    return docs.mapInPandas(
+        build,
+        schema="doc_id long, sequence_num long, timestamp long, "
+        "transaction_id long, op string, data_size long, checksum long, "
+        "block_hash string, block_size long, ref_count long",
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4107,11 +4161,12 @@ def q90_topology_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window covers the
-    newest, least-established entries (round-5 additions first, then the
-    round-3/4 cohort and the named rows-only entries); stable oracles
-    that were driver-green in two consecutive windows rotate behind
-    (q51-q56 this round, q01-q42 earlier) — every entry stays covered by
-    the full tools/check_entry.py sweep committed as BENCH/SWEEP_rNN.txt."""
+    newest, least-established entries (the late-round-5 q95-q106 cohort
+    first, then the earlier round-5 additions and the round-3/4 cohort);
+    stable oracles that were driver-green in two consecutive windows
+    rotate behind (q51-q56 this round, q01-q42 earlier) — every entry
+    stays covered by the full tools/check_entry.py sweep committed as
+    BENCH/SWEEP_rNN.txt."""
     return {
         # --- round-5 additions: newest first, inside the driver window
         "q95_path_derived": q95_path_derived,
@@ -4123,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_gliner_concepts": q104_gliner_concepts,
         "q105_header_validate": q105_header_validate,
         "q106_latency_stats": q106_latency_stats,
+        "q107_wal_roundtrip": q107_wal_roundtrip,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -5511,6 +5567,59 @@ def _q101_oracle_sql() -> str:
     """
 
 
+def _q107_oracle_sql() -> str:
+    """WAL framing re-derived byte-for-byte in SQL: the zero-checksum
+    48-byte header + StoreBlock payload as an integer list, the zlib
+    CRC-32 folded with list_reduce over the public table."""
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0xEDB88320 if crc & 1 else 0)
+        table.append(crc)
+    tbl = "[" + ",".join(str(x) for x in table) + "]"
+
+    def le(expr: str, n: int) -> str:
+        return ", ".join(f"(({expr}) >> {8 * k}) & 255" for k in range(n))
+
+    byte_list = (
+        "[49, 76, 65, 87, 1, 0, 0, 0, "          # magic 'WAL1' LE, ver 1
+        + le("seq", 8) + ", " + le("ts", 8) + ", " + le("tx", 8)
+        + ", 2, 0, 0, 0, "                        # op=StoreBlock, flags, res
+        + "40, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0] " # dataSize=40, cksum, pad
+    )
+    return f"""
+        WITH spec AS (
+            SELECT doc_id AS d, doc_id + 1 AS seq,
+                   1700000000000000 + doc_id AS ts, doc_id % 97 AS tx,
+                   printf('%032x', doc_id * 2654435761) AS h,
+                   100 + doc_id % 900 AS bsize, 1 + doc_id % 5 AS rc
+            FROM documents),
+        tblc AS (SELECT {tbl} AS t),
+        framed AS (
+            SELECT *, list_concat(list_concat(
+                       {byte_list},
+                       list_transform(generate_series(1, 32),
+                                      i -> ord(substr(h, CAST(i AS INTEGER), 1)))),
+                       [{le("bsize", 4)}, {le("rc", 4)}]) AS bs
+            FROM spec),
+        crc AS (
+            SELECT f.d,
+                   xor(list_reduce(list_prepend(4294967295, f.bs),
+                       (c, b) -> xor(c >> 8, tblc.t[(xor(c, b) & 255) + 1])),
+                       4294967295) AS checksum
+            FROM framed f CROSS JOIN tblc)
+        SELECT s.d AS doc_id, CAST(s.seq AS BIGINT) AS sequence_num,
+               CAST(s.ts AS BIGINT) AS timestamp,
+               CAST(s.tx AS BIGINT) AS transaction_id,
+               'StoreBlock' AS op, CAST(40 AS BIGINT) AS data_size,
+               CAST(c.checksum AS BIGINT) AS checksum,
+               s.h AS block_hash, CAST(s.bsize AS BIGINT) AS block_size,
+               CAST(s.rc AS BIGINT) AS ref_count
+        FROM spec s JOIN crc c ON s.d = c.d
+    """
+
+
 def _q105_oracle_sql() -> str:
     fields = ",\n               ".join(
         f"CAST({sql} AS BIGINT) AS {nm}" for nm, sql in _Q105_FIELDS
@@ -5717,6 +5826,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_dim_resolver": _q103_oracle_sql(),
         "q104_gliner_concepts": _q104_oracle_sql(),
         "q105_header_validate": _q105_oracle_sql(),
+        "q107_wal_roundtrip": _q107_oracle_sql(),
         "q106_latency_stats": """
             SELECT event_type, CAST(COUNT(value) AS BIGINT) AS sample_count,
                    CAST(ROUND(MIN(value), 6) AS DOUBLE) AS min_ms,
