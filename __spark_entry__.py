@@ -3132,6 +3132,55 @@ def q107_wal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Manifest-validation fixture: per doc a chunk list with closed-form
+#: sizes (100 + i) and offsets (100*i + i*(i-1)/2); branch %6 injects
+#: a future version, an offset gap, a total-size mismatch, a short
+#: hash, and a zero-size chunk.
+_Q108_N = "(1 + doc_id % 4)"
+_Q108_CHUNKS_SPARK = f"""
+    transform(sequence(0, {_Q108_N} - 1), i -> named_struct(
+        'hash', CASE WHEN doc_id % 6 = 4 AND i = 0
+                     THEN repeat('a', 63)
+                     ELSE repeat(substring('abcdef', 1 + (doc_id + i) % 6, 1), 64) END,
+        'offset', CAST(100 * i + i * (i - 1) / 2
+                       + CASE WHEN doc_id % 6 = 2 AND i = {_Q108_N} - 1
+                                   AND i > 0 THEN 1 ELSE 0 END AS LONG),
+        'size', CAST(CASE WHEN doc_id % 6 = 5 AND i = 0 THEN 0
+                          ELSE 100 + i END AS LONG),
+        'flags', CAST(0 AS LONG)))
+"""
+
+
+def q108_manifest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-manifest validation (manifest_manager.cpp:438-486 +
+    manifest_manager.h:58-105 via functions/manifest_codec.py): hash
+    length / non-empty / positive-size basics, the version ceiling,
+    the strictly-sequential offset walk (an F.aggregate fold) and the
+    total-size equality — one Catalyst predicate per manifest row.
+    The byte codec itself (serialize/deserialize + legacy u64-flag
+    dual-read + the field-string CRC) is pytest-pinned."""
+    _ship_package(spark)
+    from yams_spark.functions.manifest_codec import validate_manifest_col
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "repeat(substring('0123456789abcdef', 1 + doc_id % 16, 1), 64)"
+        " AS file_hash",
+        f"CAST(100 * {_Q108_N} + {_Q108_N} * ({_Q108_N} - 1) / 2"
+        f" - (CASE WHEN doc_id % 6 = 5 THEN 100 ELSE 0 END)"
+        f" + (CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0 END) AS LONG)"
+        " AS file_size",
+        "CAST(CASE WHEN doc_id % 6 = 1 THEN 2 ELSE 1 END AS INT)"
+        " AS version",
+        f"{_Q108_CHUNKS_SPARK} AS chunks",
+    )
+    return d.select(
+        "doc_id", "file_size", "version",
+        F.size("chunks").cast("int").alias("n_chunks"),
+        validate_manifest_col().alias("manifest_valid"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4179,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_header_validate": q105_header_validate,
         "q106_latency_stats": q106_latency_stats,
         "q107_wal_roundtrip": q107_wal_roundtrip,
+        "q108_manifest_validate": q108_manifest_validate,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -5827,6 +5877,51 @@ def oracle_sql() -> dict[str, str]:
         "q104_gliner_concepts": _q104_oracle_sql(),
         "q105_header_validate": _q105_oracle_sql(),
         "q107_wal_roundtrip": _q107_oracle_sql(),
+        "q108_manifest_validate": f"""
+            WITH base AS (
+                SELECT doc_id, 1 + doc_id % 4 AS n,
+                       CASE WHEN doc_id % 6 = 1 THEN 2 ELSE 1 END AS ver
+                FROM documents),
+            chunks AS (
+                SELECT b.doc_id, b.n, b.ver, i.i,
+                       CASE WHEN b.doc_id % 6 = 4 AND i.i = 0 THEN 63
+                            ELSE 64 END AS hash_len,
+                       100 * i.i + i.i * (i.i - 1) / 2
+                           + CASE WHEN b.doc_id % 6 = 2
+                                       AND i.i = b.n - 1 AND i.i > 0
+                                  THEN 1 ELSE 0 END AS coff,
+                       CASE WHEN b.doc_id % 6 = 5 AND i.i = 0 THEN 0
+                            ELSE 100 + i.i END AS csize
+                FROM base b,
+                     (SELECT unnest(generate_series(0, 3)) AS i) i
+                WHERE i.i < b.n),
+            cum AS (
+                SELECT *, COALESCE(SUM(csize) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS expected_off
+                FROM chunks),
+            walk AS (
+                SELECT doc_id, MIN(n) AS n, MIN(ver) AS ver,
+                       COUNT(*) AS n_chunks,
+                       BOOL_AND(hash_len = 64 AND csize > 0) AS chunk_ok,
+                       BOOL_AND(coff = expected_off) AS seq_ok,
+                       SUM(csize) AS total
+                FROM cum GROUP BY doc_id),
+            sized AS (
+                SELECT w.*, 100 * n + n * (n - 1) / 2
+                       - CASE WHEN doc_id % 6 = 5 THEN 100 ELSE 0 END
+                       + CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0 END
+                       AS file_size
+                FROM walk w)
+            SELECT doc_id, CAST(file_size AS BIGINT) AS file_size,
+                   CAST(ver AS INTEGER) AS version,
+                   CAST(n_chunks AS INTEGER) AS n_chunks,
+                   (chunk_ok AND seq_ok AND ver <= 1
+                    AND total = file_size AND n_chunks > 0
+                    AND file_size > 0) AS manifest_valid
+            FROM sized
+        """,
         "q106_latency_stats": """
             SELECT event_type, CAST(COUNT(value) AS BIGINT) AS sample_count,
                    CAST(ROUND(MIN(value), 6) AS DOUBLE) AS min_ms,
