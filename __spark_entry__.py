@@ -3181,6 +3181,57 @@ def q108_manifest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deriveTitle fixture: html (with/without <title>), markdown
+#: (with/without heading), a code signature behind a comment line,
+#: messy plain text, empty text, and a comment-unwrap line.
+_Q109_TEXT = (
+    "CASE doc_id % 8"
+    " WHEN 0 THEN concat('<head><TITLE> Doc ', CAST(doc_id AS STRING),"
+    "   '  Report </TiTle></head>body text')"
+    " WHEN 1 THEN concat('<p>no title ', CAST(doc_id AS STRING))"
+    " WHEN 2 THEN concat('  ', chr(10), '## Heading  ',"
+    "   CAST(doc_id AS STRING), chr(10), 'body')"
+    " WHEN 3 THEN concat('prose ', CAST(doc_id AS STRING))"
+    " WHEN 4 THEN concat('// copyright', chr(10), 'class Widget',"
+    "   CAST(doc_id AS STRING), ' {')"
+    " WHEN 5 THEN concat('  ', chr(10), chr(10), 'some  first   line ',"
+    "   CAST(doc_id AS STRING))"
+    " WHEN 6 THEN ''"
+    " ELSE concat('# note ', CAST(doc_id AS STRING)) END"
+)
+_Q109_EXT = (
+    "CASE doc_id % 8 WHEN 0 THEN '.html' WHEN 2 THEN '.md'"
+    " WHEN 4 THEN '.py' ELSE '.txt' END"
+)
+_Q109_MIME = (
+    "CASE doc_id % 8 WHEN 1 THEN 'text/html' WHEN 3 THEN 'text/markdown'"
+    " ELSE 'text/plain' END"
+)
+
+
+def q109_derive_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest title derivation (PostIngestQueue.cpp:1569-1615 +
+    title_util.cpp:45-178 via functions/title_util.py): the HTML
+    <title> window scan, markdown first-heading, comment-unwrapping
+    code-signature and first-meaningful-line cascade with the filename
+    fallback, every candidate through normalizeTitleCandidate."""
+    _ship_package(spark)
+    from yams_spark.functions.title_util import derive_title_col
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_Q109_TEXT} AS text",
+        "concat('file_', cast(doc_id % 8 as string), '_',"
+        " cast(doc_id as string)) AS name",
+        f"{_Q109_MIME} AS mime",
+        f"{_Q109_EXT} AS ext",
+    )
+    return d.select(
+        "doc_id",
+        derive_title_col("text", "name", "mime", "ext").alias("title"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4229,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_latency_stats": q106_latency_stats,
         "q107_wal_roundtrip": q107_wal_roundtrip,
         "q108_manifest_validate": q108_manifest_validate,
+        "q109_derive_title": q109_derive_title,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -5670,6 +5722,86 @@ def _q107_oracle_sql() -> str:
     """
 
 
+def _q109_oracle_sql() -> str:
+    """deriveTitle restated: the <title> window scan as strpos
+    arithmetic, line-list folds for the markdown/code/first-line
+    stages (comment markers UNWRAP, they don't skip), normalization as
+    trim + whitespace collapse + 120 cap, filename fallback."""
+    norm = "left(regexp_replace(trim({x}), '[ \\t]+', ' ', 'g'), 120)"
+    strip = (
+        "CASE WHEN trim(l) LIKE '//%' THEN trim(substr(trim(l), 3))"
+        " WHEN trim(l) LIKE '#%' THEN trim(substr(trim(l), 2))"
+        " WHEN trim(l) LIKE '--%' THEN trim(substr(trim(l), 3))"
+        " ELSE trim(l) END"
+    )
+    text = _Q109_TEXT.replace("AS STRING", "AS VARCHAR")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {text} AS text,
+                   'file_' || CAST(doc_id % 8 AS VARCHAR) || '_'
+                       || CAST(doc_id AS VARCHAR) AS name,
+                   {_Q109_MIME} AS mime, {_Q109_EXT} AS ext
+            FROM documents),
+        html AS (
+            SELECT doc_id,
+                   CASE WHEN op > 0 AND gt > 0 AND cl > 0 THEN
+                       {norm.format(x="substr(w, op + gt, cl - 1)")}
+                   ELSE '' END AS html_title
+            FROM (
+                SELECT doc_id, w,
+                       strpos(lower(w), '<title') AS op,
+                       CASE WHEN strpos(lower(w), '<title') > 0 THEN
+                           strpos(substr(lower(w),
+                               strpos(lower(w), '<title')), '>')
+                       ELSE 0 END AS gt,
+                       CASE WHEN strpos(lower(w), '<title') > 0 THEN
+                           strpos(substr(lower(w),
+                               strpos(lower(w), '<title')
+                               + strpos(substr(lower(w),
+                                   strpos(lower(w), '<title')), '>')),
+                               '</title>')
+                       ELSE 0 END AS cl
+                FROM (SELECT doc_id, substr(text, 1, 4096) AS w
+                      FROM base))),
+        linework AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                       l -> trim(l)), x -> x <> '') AS tlines,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                       l -> {strip}), x -> x <> '') AS slines
+            FROM base),
+        stages AS (
+            SELECT b.doc_id, b.text, b.name, b.mime, b.ext, h.html_title,
+                   COALESCE({norm.format(
+                       x="regexp_replace(list_filter(lw.tlines, "
+                         "x -> x LIKE '#%')[1], '^#+', '')")}, '')
+                       AS md_title,
+                   COALESCE({norm.format(
+                       x="list_filter(lw.slines, x -> x LIKE 'class %'"
+                         " OR x LIKE 'struct %' OR x LIKE 'interface %'"
+                         " OR x LIKE 'enum %' OR x LIKE 'def %'"
+                         " OR x LIKE 'function %' OR x LIKE 'fn %'"
+                         " OR x LIKE 'module %' OR x LIKE 'package %'"
+                         " OR x LIKE 'namespace %')[1]")}, '')
+                       AS code_title,
+                   COALESCE({norm.format(x="lw.slines[1]")}, '')
+                       AS line_title
+            FROM base b JOIN html h USING (doc_id)
+                 JOIN linework lw ON lw.doc_id = b.doc_id)
+        SELECT doc_id,
+               CASE WHEN text = '' THEN name
+                    WHEN (ext IN ('.html', '.htm') OR mime = 'text/html')
+                         AND html_title <> '' THEN html_title
+                    WHEN (ext IN ('.md', '.markdown')
+                          OR mime = 'text/markdown')
+                         AND md_title <> '' THEN md_title
+                    WHEN code_title <> '' THEN code_title
+                    WHEN line_title <> '' THEN line_title
+                    ELSE name END AS title
+        FROM stages
+    """
+
+
 def _q105_oracle_sql() -> str:
     fields = ",\n               ".join(
         f"CAST({sql} AS BIGINT) AS {nm}" for nm, sql in _Q105_FIELDS
@@ -5877,6 +6009,7 @@ def oracle_sql() -> dict[str, str]:
         "q104_gliner_concepts": _q104_oracle_sql(),
         "q105_header_validate": _q105_oracle_sql(),
         "q107_wal_roundtrip": _q107_oracle_sql(),
+        "q109_derive_title": _q109_oracle_sql(),
         "q108_manifest_validate": f"""
             WITH base AS (
                 SELECT doc_id, 1 + doc_id % 4 AS n,
