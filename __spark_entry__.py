@@ -3232,6 +3232,52 @@ def q109_derive_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sectioning fixture — note the ' ' (space-bearing) separator lines:
+#: truly-empty lines never enter the C++ line array, so the
+#: blank-line-before-header rule needs whitespace-bearing separators.
+_Q110_TEXT = (
+    "CASE doc_id % 4"
+    " WHEN 0 THEN concat('Alpha Report ', CAST(doc_id AS STRING),"
+    "   chr(10), ' ', chr(10), 'INTRODUCTION', chr(10),"
+    "   'This corpus item ', CAST(doc_id AS STRING),"
+    "   ' is deterministically generated for section tests.', chr(10),"
+    "   ' ', chr(10), '2 METHODS', chr(10), 'We apply rules ',"
+    "   CAST(doc_id AS STRING), '.', chr(10))"
+    " WHEN 1 THEN concat('just one line ', CAST(doc_id AS STRING),"
+    "   chr(10), 'and some more prose follows here always')"
+    " WHEN 2 THEN concat('TITLE LINE AND MORE WORDS ',"
+    "   CAST(doc_id AS STRING), chr(10), ' ', chr(10), 'OVERVIEW',"
+    "   chr(10), 'short', chr(10))"
+    " ELSE '' END"
+)
+
+
+def q110_document_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural document sectioning (title_util.cpp:180-355 via
+    functions/title_util.detect_document_sections): header detection,
+    title assembly, named section spans, the 40..4000 abstract gate,
+    body fallbacks. The oracle hand-derives each field from the shared
+    construction spec (the algorithm's expected output on that input,
+    encoded independently in SQL)."""
+    _ship_package(spark)
+    from yams_spark.functions.title_util import detect_sections_col
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_Q110_TEXT} AS text"
+    )
+    out = d.select(
+        "doc_id", detect_sections_col("text").alias("r")
+    )
+    return out.select(
+        "doc_id",
+        F.col("r.title").alias("title"),
+        F.col("r.abstract").alias("abstract"),
+        F.col("r.body").alias("body"),
+        F.col("r.n_sections").cast("int").alias("n_sections"),
+        F.array_join("r.section_names", "|").alias("section_names"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4281,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_wal_roundtrip": q107_wal_roundtrip,
         "q108_manifest_validate": q108_manifest_validate,
         "q109_derive_title": q109_derive_title,
+        "q110_document_sections": q110_document_sections,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -6010,6 +6057,36 @@ def oracle_sql() -> dict[str, str]:
         "q105_header_validate": _q105_oracle_sql(),
         "q107_wal_roundtrip": _q107_oracle_sql(),
         "q109_derive_title": _q109_oracle_sql(),
+        "q110_document_sections": """
+            WITH base AS (SELECT doc_id, doc_id % 4 AS br FROM documents),
+            d AS (SELECT doc_id, br, CAST(doc_id AS VARCHAR) AS n
+                  FROM base)
+            SELECT doc_id,
+                CASE br
+                    WHEN 0 THEN 'Alpha Report ' || n
+                    WHEN 1 THEN 'just one line ' || n
+                    WHEN 2 THEN 'TITLE LINE AND MORE WORDS ' || n
+                    ELSE '' END AS title,
+                CASE br
+                    WHEN 0 THEN 'INTRODUCTION This corpus item ' || n
+                        || ' is deterministically generated for'
+                        || ' section tests.'
+                    ELSE '' END AS abstract,
+                CASE br
+                    WHEN 0 THEN 'INTRODUCTION This corpus item ' || n
+                        || ' is deterministically generated for'
+                        || ' section tests. 2 METHODS We apply rules '
+                        || n || '.'
+                    WHEN 1 THEN 'just one line ' || n || chr(10)
+                        || 'and some more prose follows here always'
+                    WHEN 2 THEN 'OVERVIEW short'
+                    ELSE '' END AS body,
+                CAST(CASE br WHEN 0 THEN 2 WHEN 2 THEN 1 ELSE 0 END
+                     AS INTEGER) AS n_sections,
+                CASE br WHEN 0 THEN 'INTRODUCTION|2 METHODS'
+                     WHEN 2 THEN 'OVERVIEW' ELSE '' END AS section_names
+            FROM d
+        """,
         "q108_manifest_validate": f"""
             WITH base AS (
                 SELECT doc_id, 1 + doc_id % 4 AS n,

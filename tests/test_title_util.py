@@ -114,3 +114,30 @@ def test_derive_title_col(spark):
         "a": "Alpha", "b": "Beta", "c": "def gamma():", "d": "d.txt",
         "e": "only comments stripped",
     }
+
+
+def test_detect_sections_col_matches_scalar(spark):
+    from yams_spark.functions.title_util import detect_sections_col
+
+    texts = [
+        "Alpha Report 7\n \nINTRODUCTION\nThis corpus item 7 is "
+        "deterministically generated for section tests.\n \n2 METHODS\n"
+        "We apply rules 7.\n",
+        "just one line 7\nand some more prose follows here always",
+        "TITLE LINE AND MORE WORDS 7\n \nOVERVIEW\nshort\n",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["r"].asDict()
+        for r in df.select(detect_sections_col("text").alias("r")).collect()
+    ]
+    by_text = {t: g for t, g in zip(texts, got)}
+    for t in texts:
+        want = detect_document_sections(t)
+        g = by_text[t]
+        assert g["title"] == want["title"]
+        assert g["abstract"] == want["abstract"]
+        assert g["body"] == want["body"]
+        assert g["n_sections"] == len(want["sections"])
+        assert g["section_names"] == [s["name"] for s in want["sections"]]

@@ -339,3 +339,30 @@ def detect_document_sections(text: str) -> dict:
             if body_start < len(text):
                 result["body"] = _collapse(_trim(text[body_start:]))
     return result
+
+
+def detect_sections_col(text: Column | str) -> Column:
+    """detectDocumentSections over a text column — one Arrow batch
+    returning (title, abstract, body, n_sections, section_names)."""
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf(
+        "struct<title: string, abstract: string, body: string, "
+        "n_sections: int, section_names: array<string>>"
+    )
+    def _detect(series: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in series:
+            r = detect_document_sections(t or "")
+            rows.append(
+                {
+                    "title": r["title"],
+                    "abstract": r["abstract"],
+                    "body": r["body"],
+                    "n_sections": len(r["sections"]),
+                    "section_names": [s["name"] for s in r["sections"]],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _detect(c)
