@@ -3278,6 +3278,49 @@ def q110_document_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-algorithm counter fixture spanning every alert branch and the
+#: zero guards (no output / no ops / no time).
+_Q111_FIELDS = [
+    ("algorithm", "CASE doc_id % 3 WHEN 0 THEN 'Zstandard'"
+     " WHEN 1 THEN 'LZMA' ELSE 'None' END"),
+    ("bytes_input", "(doc_id % 17) * 1048576"),
+    ("bytes_output", "CASE WHEN doc_id % 7 = 0 THEN 0"
+     " ELSE (doc_id % 23) * 262144 END"),
+    ("files_compressed", "doc_id % 9"),
+    ("files_decompressed", "doc_id % 4"),
+    ("compression_errors", "CASE WHEN doc_id % 5 = 0 THEN doc_id % 3"
+     " ELSE 0 END"),
+    ("decompression_errors", "doc_id % 2"),
+    ("compression_time_ms", "CASE WHEN doc_id % 6 = 0 THEN 0"
+     " ELSE (doc_id % 40) * 25 END"),
+]
+
+
+def q111_compression_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression health alerts (compression_monitor.cpp:101-153 via
+    operators/compression.compression_health_alerts): the ratio <
+    0.1 / error-rate > 0.05 / throughput < 100 MB/s gates with their
+    zero guards, one alert row per fired gate in the reference's
+    check order."""
+    _ship_package(spark)
+    from yams_spark.operators.compression import compression_health_alerts
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", *[f"{sql} AS {nm}" for nm, sql in _Q111_FIELDS]
+    )
+    # one synthetic per-doc "algorithm" row so every branch appears
+    d = d.withColumn(
+        "algorithm",
+        F.concat(F.col("algorithm"), F.lit("#"),
+                 F.col("doc_id").cast("string")),
+    )
+    return compression_health_alerts(d).select(
+        "algorithm", "alert_type", "message",
+        F.round("value", 6).cast("double").alias("value"),
+        F.round("threshold", 6).cast("double").alias("threshold"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4328,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_manifest_validate": q108_manifest_validate,
         "q109_derive_title": q109_derive_title,
         "q110_document_sections": q110_document_sections,
+        "q111_compression_alerts": q111_compression_alerts,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -6057,6 +6101,52 @@ def oracle_sql() -> dict[str, str]:
         "q105_header_validate": _q105_oracle_sql(),
         "q107_wal_roundtrip": _q107_oracle_sql(),
         "q109_derive_title": _q109_oracle_sql(),
+        "q111_compression_alerts": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       {", ".join(f"{sql} AS {nm}" for nm, sql in _Q111_FIELDS)}
+                FROM documents),
+            named AS (
+                SELECT *, algorithm || '#' || CAST(doc_id AS VARCHAR)
+                           AS algo FROM base),
+            derived AS (
+                SELECT algo,
+                       CASE WHEN bytes_output > 0
+                            THEN CAST(bytes_input AS DOUBLE)
+                                 / CAST(bytes_output AS DOUBLE)
+                            ELSE 0.0 END AS ratio,
+                       files_compressed + files_decompressed AS ops,
+                       compression_errors + decompression_errors AS errs,
+                       CASE WHEN compression_time_ms > 0
+                            THEN (CAST(bytes_input AS DOUBLE)
+                                  / 1024.0 / 1024.0)
+                                 / (CAST(compression_time_ms AS DOUBLE)
+                                    / 1000.0)
+                            ELSE 0.0 END AS thru
+                FROM named),
+            alerts AS (
+                SELECT algo AS algorithm,
+                       'LowCompressionRatio' AS alert_type,
+                       'Low compression ratio for ' || algo AS message,
+                       ratio AS value, 0.1 AS threshold
+                FROM derived WHERE ratio > 0 AND ratio < 0.1
+                UNION ALL
+                SELECT algo, 'HighErrorRate',
+                       'High error rate for ' || algo,
+                       CAST(errs AS DOUBLE) / CAST(ops AS DOUBLE), 0.05
+                FROM derived
+                WHERE ops > 0
+                  AND CAST(errs AS DOUBLE) / CAST(ops AS DOUBLE) > 0.05
+                UNION ALL
+                SELECT algo, 'SlowPerformance',
+                       'Slow compression performance for ' || algo,
+                       thru, 100.0
+                FROM derived WHERE thru > 0 AND thru < 100.0)
+            SELECT algorithm, alert_type, message,
+                   CAST(ROUND(value, 6) AS DOUBLE) AS value,
+                   CAST(ROUND(threshold, 6) AS DOUBLE) AS threshold
+            FROM alerts
+        """,
         "q110_document_sections": """
             WITH base AS (SELECT doc_id, doc_id % 4 AS br FROM documents),
             d AS (SELECT doc_id, br, CAST(doc_id AS VARCHAR) AS n

@@ -333,3 +333,39 @@ def test_compression_header_roundtrip_and_validate(spark):
         ).collect()
     ]
     assert got == [r[6] for r in rows]
+
+
+def test_compression_health_alerts(spark):
+    from yams_spark.operators.compression import compression_health_alerts
+
+    rows = [
+        # algo, in, out, comp_files, decomp_files, cerr, derr, ctime_ms
+        ("Zstandard", 1000, 50000, 100, 50, 0, 0, 1),   # ratio 0.02 -> low
+        ("LZMA", 10**9, 10**8, 100, 0, 10, 0, 1000),    # err 0.1 -> high
+        ("Slow", 10**8, 10**7, 10, 0, 0, 0, 10**6),     # 0.095 MB/s -> slow
+        ("Healthy", 10**9, 10**8, 100, 0, 1, 0, 1000),  # all gates pass
+        ("NoData", 0, 0, 0, 0, 0, 0, 0),                # zero guards
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "algorithm string, bytes_input long, bytes_output long, "
+        "files_compressed long, files_decompressed long, "
+        "compression_errors long, decompression_errors long, "
+        "compression_time_ms long",
+    )
+    got = {}
+    for r in compression_health_alerts(df).collect():
+        got.setdefault(r["algorithm"], []).append(
+            (r["alert_type"], round(r["value"], 6))
+        )
+    # 1000 bytes in 1 ms is ALSO below the 100 MB/s performance gate —
+    # the reference fires every applicable alert, in ratio/error/perf
+    # order (:101-153).
+    assert got["Zstandard"] == [
+        ("LowCompressionRatio", 0.02),
+        ("SlowPerformance", 0.953674),
+    ]
+    assert ("HighErrorRate", 0.1) in got["LZMA"]
+    assert got["Slow"][0][0] == "SlowPerformance"
+    assert "Healthy" not in got          # ratio 10, err 0.01, 953 MB/s
+    assert "NoData" not in got           # ratio 0 / no ops / no time

@@ -551,3 +551,91 @@ def validate_compression_header_col(
         & size_ok
         & (lv <= 22)
     )
+
+
+# ---------------------------------------------------------------------------
+# Health alerts (compression_monitor.cpp:101-153)
+# ---------------------------------------------------------------------------
+
+
+def compression_health_alerts(
+    stats: DataFrame,
+    algorithm_col: str = "algorithm",
+    ratio_threshold: float = 0.1,
+    error_rate_threshold: float = 0.05,
+    performance_threshold: float = 100.0,
+) -> DataFrame:
+    """checkAlgorithmHealth (compression_monitor.cpp:101-153) over a
+    per-algorithm counter table at once (MonitorConfig defaults
+    compression_monitor.h:19-28). Stats formulas from
+    compression_stats.h: averageRatio = bytes_input/bytes_output
+    (0 when no output, :60-64); throughput = MiB / seconds (0 when no
+    time, :70-76); error rate over compress+decompress op counts.
+    Emits one alert row per fired gate — the exact three alert types
+    with the reference's message strings. Pure Catalyst explode."""
+    ratio = F.when(
+        F.col("bytes_output") > 0,
+        F.col("bytes_input").cast("double")
+        / F.col("bytes_output").cast("double"),
+    ).otherwise(F.lit(0.0))
+    total_ops = F.col("files_compressed") + F.col("files_decompressed")
+    total_errors = (
+        F.col("compression_errors") + F.col("decompression_errors")
+    )
+    error_rate = F.when(
+        total_ops > 0,
+        total_errors.cast("double") / total_ops.cast("double"),
+    )
+    throughput = F.when(
+        F.col("compression_time_ms") > 0,
+        (F.col("bytes_input").cast("double") / 1024.0 / 1024.0)
+        / (F.col("compression_time_ms").cast("double") / 1000.0),
+    ).otherwise(F.lit(0.0))
+    algo = F.col(algorithm_col)
+    alerts = F.array(
+        F.when(
+            (ratio > 0) & (ratio < F.lit(ratio_threshold)),
+            F.struct(
+                F.lit("LowCompressionRatio").alias("alert_type"),
+                F.concat(
+                    F.lit("Low compression ratio for "), algo
+                ).alias("message"),
+                ratio.alias("value"),
+                F.lit(ratio_threshold).alias("threshold"),
+            ),
+        ),
+        F.when(
+            (total_ops > 0) & (error_rate > F.lit(error_rate_threshold)),
+            F.struct(
+                F.lit("HighErrorRate").alias("alert_type"),
+                F.concat(F.lit("High error rate for "), algo).alias(
+                    "message"
+                ),
+                error_rate.alias("value"),
+                F.lit(error_rate_threshold).alias("threshold"),
+            ),
+        ),
+        F.when(
+            (throughput > 0) & (throughput < F.lit(performance_threshold)),
+            F.struct(
+                F.lit("SlowPerformance").alias("alert_type"),
+                F.concat(
+                    F.lit("Slow compression performance for "), algo
+                ).alias("message"),
+                throughput.alias("value"),
+                F.lit(performance_threshold).alias("threshold"),
+            ),
+        ),
+    )
+    return (
+        stats.withColumn(
+            "_a", F.explode(F.filter(alerts, lambda a: a.isNotNull()))
+        )
+        .select(
+            algorithm_col,
+            F.col("_a.alert_type").alias("alert_type"),
+            F.col("_a.message").alias("message"),
+            F.col("_a.value").alias("value"),
+            F.col("_a.threshold").alias("threshold"),
+        )
+    )
