@@ -3321,6 +3321,40 @@ def q111_compression_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q112_surface_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity surface variants (query_text_utils.cpp:28-119, 256-333
+    via operators/gliner_concepts.py): ordered keep-first emission —
+    normalized key + graph surface of the input and of its Greek
+    expansion, token variants with the kind-dependent length floor,
+    joined forms, and the camelCase/delimiter code-symbol split with
+    suffix chains, capped at 8. The oracle hand-derives every branch's
+    variant list from the construction spec."""
+    _ship_package(spark)
+    from yams_spark.operators.gliner_concepts import surface_variants_col
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CASE doc_id % 4"
+        " WHEN 0 THEN concat('TNF', cast(doc_id as string), '-α')"
+        " WHEN 1 THEN concat('Bank of Ideas ', cast(doc_id as string))"
+        " WHEN 2 THEN concat('QueryRouter', cast(doc_id as string),"
+        "   '::route')"
+        " ELSE '' END AS text",
+        "CASE doc_id % 4 WHEN 0 THEN 'biomedical'"
+        " WHEN 1 THEN 'general' ELSE 'code_symbol' END AS kind",
+    )
+    out = d.select(
+        "doc_id",
+        F.posexplode(surface_variants_col("text", "kind", 8)).alias(
+            "variant_rank", "variant"
+        ),
+    )
+    return out.select(
+        "doc_id", F.col("variant_rank").cast("int").alias("variant_rank"),
+        "variant",
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4372,6 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_derive_title": q109_derive_title,
         "q110_document_sections": q110_document_sections,
         "q111_compression_alerts": q111_compression_alerts,
+        "q112_surface_variants": q112_surface_variants,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -6101,6 +6136,41 @@ def oracle_sql() -> dict[str, str]:
         "q105_header_validate": _q105_oracle_sql(),
         "q107_wal_roundtrip": _q107_oracle_sql(),
         "q109_derive_title": _q109_oracle_sql(),
+        "q112_surface_variants": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 4 AS br,
+                       CAST(doc_id AS VARCHAR) AS n
+                FROM documents),
+            v AS (
+                SELECT doc_id,
+                    CASE br
+                        WHEN 0 THEN [
+                            'tnf' || n || '-α',
+                            'tnf' || n,
+                            'tnf' || n || '- alpha',
+                            'tnf' || n || ' alpha',
+                            'alpha']
+                        WHEN 1 THEN list_concat(
+                            ['bank of ideas ' || n, 'bank', 'ideas'],
+                            CASE WHEN length(n) >= 3 THEN [n]
+                                 ELSE CAST([] AS VARCHAR[]) END)
+                        WHEN 2 THEN [
+                            'queryrouter' || n || '::route',
+                            'queryrouter' || n || ' route',
+                            'queryrouter' || n,
+                            'route',
+                            'query',
+                            'router' || n,
+                            'query router' || n || ' route',
+                            'router' || n || ' route']
+                        ELSE CAST([] AS VARCHAR[]) END AS vs
+                FROM d)
+            SELECT doc_id,
+                   CAST(p.pos AS INTEGER) AS variant_rank,
+                   v.vs[p.pos + 1] AS variant
+            FROM v, (SELECT unnest(generate_series(0, 7)) AS pos) p
+            WHERE p.pos < len(v.vs)
+        """,
         "q111_compression_alerts": f"""
             WITH base AS (
                 SELECT doc_id,

@@ -88,3 +88,72 @@ def test_requested_type_gate_off(spark):
     out = gliner_query_concepts(_entities(spark), requested_types=[])
     q1 = {r["concept_text"] for r in out.collect() if r["query_id"] == 1}
     assert "mystery" in q1  # empty request set disables the gate
+
+
+def test_surface_variants():
+    from yams_spark.operators.gliner_concepts import (
+        generate_surface_variants,
+        split_code_symbol_tokens,
+        surface_variant_kind,
+    )
+
+    assert surface_variant_kind("Gene") == "biomedical"
+    assert surface_variant_kind("Tool") == "code_symbol"  # ->method
+    assert surface_variant_kind("person") == "general"
+
+    assert split_code_symbol_tokens("FooBar::baz_qux v2") == [
+        "foo", "bar", "baz", "qux", "v2",
+    ]
+    # biomedical: greek expansion + tokens (min len 2) + joined
+    v = generate_surface_variants("TNF-α", "biomedical", 8)
+    assert v == [
+        "tnf-α",              # normalized input
+        "tnf",                # graph surface of input ('α' is non-alnum)
+        "tnf- alpha",         # normalized greek expansion
+        "tnf alpha",          # graph surface of expansion
+        # token variants: tnf (dup), alpha; joined 'tnf alpha' (dup)
+        "alpha",
+    ]
+    # general: 3-char token floor drops 'of'
+    g = generate_surface_variants("Bank of Ideas", "general", 8)
+    assert g == [
+        "bank of ideas",      # normalized (lowered) input
+        "bank", "ideas",      # tokens >= 3 chars
+        # joined 'bank of ideas' dups the first entry
+    ]
+    # code symbol: camel split + suffix chains
+    c = generate_surface_variants("QueryRouter::route", "code_symbol", 10)
+    assert c[0] == "queryrouter::route"
+    assert "queryrouter route" in c          # graph surface
+    assert "query router route" in c         # code-token join
+    assert "router route" in c               # suffix chain
+    # cap respected, keep-first order
+    assert generate_surface_variants("TNF-α", "biomedical", 2) == [
+        "tnf-α", "tnf",
+    ]
+    assert generate_surface_variants("", "general", 8) == []
+    assert generate_surface_variants("x", "general", 0) == []
+
+
+def test_surface_variants_col(spark):
+    from pyspark.sql import functions as F
+
+    from yams_spark.operators.gliner_concepts import (
+        generate_surface_variants,
+        surface_variants_col,
+    )
+
+    rows = [
+        ("TNF-α", "biomedical"),
+        ("Bank of Ideas", "general"),
+        ("QueryRouter::route", "code_symbol"),
+    ]
+    df = spark.createDataFrame(rows, "text string, kind string")
+    got = {
+        r["text"]: r["v"]
+        for r in df.select(
+            "text", surface_variants_col("text", "kind").alias("v")
+        ).collect()
+    }
+    for text, kind in rows:
+        assert got[text] == generate_surface_variants(text, kind, 8)

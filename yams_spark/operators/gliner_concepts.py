@@ -33,6 +33,7 @@ window + one per-query rank window — both partitioned, never global).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -198,3 +199,213 @@ def gliner_query_concepts(
         .withColumnRenamed("_text", "concept_text")
         .withColumnRenamed("_type", "concept_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Surface variants (query_text_utils.cpp:28-119, 235-333)
+# ---------------------------------------------------------------------------
+
+#: query_text_utils.cpp:30-49 — UTF-8 Greek letters expand to padded
+#: latin names (both cases).
+GREEK_EXPANSIONS = (
+    ("α", " alpha "), ("Α", " alpha "),
+    ("β", " beta "), ("Β", " beta "),
+    ("γ", " gamma "), ("Γ", " gamma "),
+    ("δ", " delta "), ("Δ", " delta "),
+    ("κ", " kappa "), ("Κ", " kappa "),
+    ("λ", " lambda "), ("Λ", " lambda "),
+    ("μ", " mu "), ("Μ", " mu "),
+    ("τ", " tau "), ("Τ", " tau "),
+    ("ν", " nu "), ("Ν", " nu "),
+)
+
+#: surfaceVariantKindForEntityType (:235-254)
+_BIOMEDICAL_TYPES = frozenset(
+    {"protein", "gene", "cell", "disease", "drug", "chemical",
+     "pathway", "biological_process", "biomarker", "anatomy",
+     "organism"}
+)
+_CODE_SYMBOL_TYPES = frozenset(
+    {"class", "function", "method", "namespace", "symbol", "module",
+     "field"}
+)
+
+
+def surface_variant_kind(entity_type: str) -> str:
+    """surfaceVariantKindForEntityType (:235-254) over the canonical
+    type."""
+    t = canonicalize_entity_type_py(entity_type)
+    if t in _BIOMEDICAL_TYPES:
+        return "biomedical"
+    if t in _CODE_SYMBOL_TYPES:
+        return "code_symbol"
+    return "general"
+
+
+def expand_common_greek_letters(s: str) -> str:
+    """expandCommonGreekLetters (:28-54)."""
+    for needle, repl in GREEK_EXPANSIONS:
+        s = s.replace(needle, repl)
+    return s
+
+
+def split_code_symbol_tokens(s: str) -> list[str]:
+    """splitCodeSymbolTokens (:56-90): delimiter set ``:./\\_-`` +
+    whitespace, plus a camelCase break before an uppercase that
+    follows a lowercase or digit; tokens lowered byte-wise."""
+    tokens: list[str] = []
+    current: list[str] = []
+    prev = "\0"
+    for c in s:
+        is_delim = c in ":./\\_-" or c in " \t\n\x0b\f\r"
+        if is_delim:
+            if current:
+                tokens.append("".join(current))
+                current = []
+            prev = "\0"
+            continue
+        if (
+            "A" <= c <= "Z"
+            and current
+            and (("a" <= prev <= "z") or ("0" <= prev <= "9"))
+        ):
+            tokens.append("".join(current))
+            current = []
+        current.append(
+            chr(ord(c) + 0x20) if "A" <= c <= "Z" else c
+        )
+        prev = c
+    if current:
+        tokens.append("".join(current))
+    return tokens
+
+
+def _tokenize_lower(s: str) -> list[str]:
+    """tokenizeLower (:340-362): backslashes to slashes, maximal ASCII
+    alnum runs, byte-wise lower."""
+    s = s.replace("\\", "/")
+    tokens: list[str] = []
+    current: list[str] = []
+    for c in s:
+        if c.isascii() and c.isalnum():
+            current.append(chr(ord(c) + 0x20) if "A" <= c <= "Z" else c)
+        elif current:
+            tokens.append("".join(current))
+            current = []
+    if current:
+        tokens.append("".join(current))
+    return tokens
+
+
+def _norm_key(s: str) -> str:
+    return " ".join(
+        "".join(
+            chr(ord(c) + 0x20) if "A" <= c <= "Z" else c for c in s
+        ).split()
+    )
+
+
+def _norm_graph_surface(s: str) -> str:
+    out: list[str] = []
+    in_ws = False
+    for c in s:
+        if c.isascii() and c.isalnum():
+            out.append(chr(ord(c) + 0x20) if "A" <= c <= "Z" else c)
+            in_ws = False
+        elif out and not in_ws:
+            out.append(" ")
+            in_ws = True
+    while out and out[-1] == " ":
+        out.pop()
+    return "".join(out)
+
+
+def generate_surface_variants(
+    text: str, kind: str = "general", max_variants: int = 8
+) -> list[str]:
+    """generateSurfaceVariants (:256-333): ordered keep-first variant
+    emission — normalized key + graph surface of the input and its
+    Greek expansion, token variants (min length 3 for General, 2
+    otherwise) plus the joined form, and for CodeSymbol the camel/
+    delimiter split with its suffix chains — capped at
+    ``max_variants``, every candidate through the 2-char floor."""
+    if max_variants == 0 or not text:
+        return []
+    variants: list[str] = []
+    seen: set[str] = set()
+
+    def add(value: str):
+        value = _norm_key(value)
+        if len(value) < 2 or value in seen:
+            return
+        seen.add(value)
+        if len(variants) < max_variants:
+            variants.append(value)
+
+    def add_from_text(t: str):
+        add(_norm_key(t))
+        if len(variants) >= max_variants:
+            return
+        gs = _norm_graph_surface(t)
+        if gs:
+            add(gs)
+
+    greek = expand_common_greek_letters(text)
+    add_from_text(text)
+    if len(variants) >= max_variants:
+        return variants
+    if greek != text:
+        add_from_text(greek)
+        if len(variants) >= max_variants:
+            return variants
+
+    def emit_tokens(tokens: list[str]):
+        if not tokens:
+            return
+        min_len = 3 if kind == "general" else 2
+        for tok in tokens:
+            if len(tok) < min_len:
+                continue
+            add(tok)
+            if len(variants) >= max_variants:
+                return
+        if len(tokens) >= 2:
+            add(" ".join(tokens))
+
+    emit_tokens(_tokenize_lower(greek))
+    if len(variants) >= max_variants:
+        return variants
+
+    if kind == "code_symbol":
+        code_tokens = split_code_symbol_tokens(greek)
+        emit_tokens(code_tokens)
+        if len(variants) >= max_variants:
+            return variants
+        if len(code_tokens) >= 2:
+            for i in range(1, len(code_tokens)):
+                add(" ".join(code_tokens[i:]))
+                if len(variants) >= max_variants:
+                    return variants
+    return variants
+
+
+def surface_variants_col(
+    text: Column | str, kind: Column | str, max_variants: int = 8
+) -> Column:
+    """generateSurfaceVariants over columns — one Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    t = F.col(text) if isinstance(text, str) else text
+    k = F.col(kind) if isinstance(kind, str) else kind
+
+    @pandas_udf("array<string>")
+    def _variants(ts: pd.Series, ks: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                generate_surface_variants(a or "", b or "general",
+                                          max_variants)
+                for a, b in zip(ts, ks)
+            ]
+        )
+
+    return _variants(t, k)
