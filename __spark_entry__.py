@@ -3355,6 +3355,46 @@ def q112_surface_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q113_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetadataQuery::matches (content_metadata.cpp:319-384 via
+    operators/qualifiers.metadata_query_filter): exact mime, FULL-regex
+    name match, required/any/exclude tag keys over a tag map, closed
+    timestamp gates, custom key=value equality — four configured
+    predicates evaluated per document."""
+    _ship_package(spark)
+    from yams_spark.operators.qualifiers import metadata_query_filter
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CASE doc_id % 3 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'"
+        " ELSE 'application/json' END AS mime_type",
+        "concat('doc_', cast(doc_id as string),"
+        " CASE WHEN doc_id % 2 = 0 THEN '.txt' ELSE '.md' END) AS name",
+        "map_filter(map('project', CASE WHEN doc_id % 4 < 2 THEN 'x'"
+        "   ELSE 'y' END,"
+        " 'tmp', CASE WHEN doc_id % 5 = 0 THEN '' ELSE NULL END,"
+        " 'keep', CASE WHEN doc_id % 7 = 0 THEN '' ELSE NULL END),"
+        " (k, v) -> v IS NOT NULL) AS tags",
+        "1000 + doc_id % 300 AS created_ts",
+        "2000 + doc_id % 400 AS modified_ts",
+    )
+    return d.select(
+        "doc_id",
+        metadata_query_filter(mime_type="text/html").alias("m_mime"),
+        metadata_query_filter(name_pattern=r"doc_\d+\.txt").alias(
+            "m_name"
+        ),
+        metadata_query_filter(
+            required_tags=["project"], exclude_tags=["tmp"],
+            custom_fields={"project": "x"},
+        ).alias("m_tags"),
+        metadata_query_filter(
+            any_tags=["tmp", "keep"], created_after=1100,
+            modified_before=2300,
+        ).alias("m_mixed"),
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4407,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_document_sections": q110_document_sections,
         "q111_compression_alerts": q111_compression_alerts,
         "q112_surface_variants": q112_surface_variants,
+        "q113_metadata_query": q113_metadata_query,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -6136,6 +6177,23 @@ def oracle_sql() -> dict[str, str]:
         "q105_header_validate": _q105_oracle_sql(),
         "q107_wal_roundtrip": _q107_oracle_sql(),
         "q109_derive_title": _q109_oracle_sql(),
+        "q113_metadata_query": """
+            WITH d AS (
+                SELECT doc_id,
+                       doc_id % 3 AS m3, doc_id % 2 AS m2,
+                       doc_id % 4 AS m4, doc_id % 5 AS m5,
+                       doc_id % 7 AS m7,
+                       1000 + doc_id % 300 AS cts,
+                       2000 + doc_id % 400 AS mts
+                FROM documents)
+            SELECT doc_id,
+                   (m3 = 0) AS m_mime,
+                   (m2 = 0) AS m_name,
+                   (m5 <> 0 AND m4 < 2) AS m_tags,
+                   ((m5 = 0 OR m7 = 0) AND NOT (cts < 1100)
+                    AND NOT (mts > 2300)) AS m_mixed
+            FROM d
+        """,
         "q112_surface_variants": """
             WITH d AS (
                 SELECT doc_id, doc_id % 4 AS br,

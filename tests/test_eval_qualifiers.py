@@ -73,3 +73,40 @@ def test_workspace_scope_filter(spark) -> None:
     }
     assert got == {"https://a.example/x", "file:///ws/z"}
     assert workspace_scope_filter(df, []).count() == 3  # unscoped
+
+
+def test_metadata_query_filter(spark):
+    from yams_spark.operators.qualifiers import metadata_query_filter
+
+    rows = [
+        ("a", "text/html", "report_1.txt",
+         {"project": "x", "keep": ""}, 100, 200),
+        ("b", "text/plain", "report_2.txt",
+         {"project": "y", "tmp": ""}, 150, 250),
+        ("c", "text/html", "notes.md", {"project": "x"}, 50, 300),
+        ("d", "text/html", "report_3.txt", {}, 120, 220),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, mime_type string, name string, "
+        "tags map<string,string>, created_ts long, modified_ts long"
+    )
+
+    def keys(**kw):
+        return {
+            r["k"] for r in df.where(metadata_query_filter(**kw)).collect()
+        }
+
+    assert keys(mime_type="text/html") == {"a", "c", "d"}
+    # std::regex_match = FULL match: 'report_' alone matches nothing
+    assert keys(name_pattern="report_") == set()
+    assert keys(name_pattern=r"report_\d\.txt") == {"a", "b", "d"}
+    assert keys(required_tags=["project", "keep"]) == {"a"}
+    assert keys(any_tags=["keep", "tmp"]) == {"a", "b"}
+    assert keys(exclude_tags=["tmp"]) == {"a", "c", "d"}
+    assert keys(created_after=100, created_before=130) == {"a", "d"}
+    assert keys(modified_after=220, modified_before=300) == {"b", "c", "d"}
+    assert keys(custom_fields={"project": "x"}) == {"a", "c"}
+    assert keys(
+        mime_type="text/html", required_tags=["project"],
+        custom_fields={"project": "x"}, created_after=60,
+    ) == {"a"}
