@@ -3395,6 +3395,64 @@ def q113_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q114_file_type_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-type detection cascade (file_type_detector.cpp via
+    functions/filetype.py): RIFF/WAVE two-part check, magic prefixes
+    (incl. the offset-4 ftyp), the extension map BEFORE the strict
+    UTF-8 text walk, and the octet-stream fallback — one Arrow pass
+    over a synthesized binary corpus; the oracle derives the expected
+    classification per branch from the construction spec."""
+    _ship_package(spark)
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        from yams_spark.functions.filetype import detect_file_type
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fam = d % 8
+                name = None
+                if fam == 0:
+                    data = b"\x89PNG\r\n\x1a\n" + bytes([d % 251] * 32)
+                elif fam == 1:
+                    data = b"RIFF" + (d % 97).to_bytes(4, "little") + b"WAVE" + b"\0" * 16
+                elif fam == 2:
+                    data = f"hello text {d}".encode()
+                elif fam == 3:
+                    data = b"\xc3\x28" + bytes([255] * 16)
+                    name = f"track_{d}.MP3"
+                elif fam == 4:
+                    data = (d % 89).to_bytes(4, "big") + b"ftypisom" + b"\0" * 8
+                elif fam == 5:
+                    data = b"\xc3\x28" + bytes([254] * 16)
+                    name = f"blob_{d}.xyz"
+                elif fam == 6:
+                    data = f"<!DOCTYPE html><p>{d}</p>".encode()
+                else:
+                    data = b"\x1f\x8b" + bytes([d % 13] * 24)
+                r = detect_file_type(data, name)
+                rows.append((d, r["mime"], r["file_type"],
+                             float(r["confidence"]), r["method"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mime", "file_type",
+                               "confidence", "method"],
+            )
+
+    return docs.mapInPandas(
+        build,
+        schema="doc_id long, mime string, file_type string, "
+        "confidence double, method string",
+    ).select(
+        "doc_id", "mime", "file_type",
+        F.round("confidence", 6).cast("double").alias("confidence"),
+        "method",
+    )
+
+
 def q21_chunk_score_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→doc score aggregation WEIGHTED_TOP_K_AVG k=3 decay 0.6
     (search_vector_pipeline.cpp:100-140) over per-user event values."""
@@ -4448,6 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_compression_alerts": q111_compression_alerts,
         "q112_surface_variants": q112_surface_variants,
         "q113_metadata_query": q113_metadata_query,
+        "q114_file_type_detect": q114_file_type_detect,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -6177,6 +6236,30 @@ def oracle_sql() -> dict[str, str]:
         "q105_header_validate": _q105_oracle_sql(),
         "q107_wal_roundtrip": _q107_oracle_sql(),
         "q109_derive_title": _q109_oracle_sql(),
+        "q114_file_type_detect": """
+            SELECT doc_id,
+                CASE doc_id % 8
+                    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                    WHEN 2 THEN 'text/plain' WHEN 3 THEN 'audio/mpeg'
+                    WHEN 4 THEN 'video/mp4'
+                    WHEN 5 THEN 'application/octet-stream'
+                    WHEN 6 THEN 'text/html'
+                    ELSE 'application/gzip' END AS mime,
+                CASE doc_id % 8
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    WHEN 2 THEN 'text' WHEN 3 THEN 'audio'
+                    WHEN 4 THEN 'video' WHEN 5 THEN 'binary'
+                    WHEN 6 THEN 'text' ELSE 'archive' END AS file_type,
+                CAST(CASE doc_id % 8
+                    WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.6
+                    WHEN 3 THEN 0.5 WHEN 4 THEN 0.95 WHEN 5 THEN 0.1
+                    WHEN 6 THEN 0.8 ELSE 0.9 END AS DOUBLE)
+                    AS confidence,
+                CASE doc_id % 8
+                    WHEN 2 THEN 'utf8' WHEN 3 THEN 'extension'
+                    WHEN 5 THEN 'fallback' ELSE 'magic' END AS method
+            FROM documents
+        """,
         "q113_metadata_query": """
             WITH d AS (
                 SELECT doc_id,
