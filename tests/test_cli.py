@@ -150,3 +150,46 @@ def test_cli_topo(spark, tmp_path, capsys) -> None:
     # alpha=1: pure sparse mass (2.0 vs 1.0) + 0.05*persistence
     assert abs(rows[0]["route_score"] - (1.0 + 0.02)) < 1e-9
     assert abs(rows[1]["route_score"] - (0.5 + 0.01)) < 1e-9
+
+
+def test_cli_filetype_archive_title(spark, tmp_path, capsys) -> None:
+    from yams_spark.functions.archive_codecs import build_zip
+    from yams_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", b"\x89PNG\r\n\x1a\n" + b"\0" * 32,
+             "image/png", None, None, None),
+            ("m2", "archive",
+             build_zip([("a.txt", b"hello members " * 4)]),
+             "application/zip", None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    p = str(tmp_path / "cli_media.parquet")
+    media.write.parquet(p)
+
+    assert main(["filetype", "--media", p], spark=spark) == 0
+    rows = {r["media_id"]: r for r in _jsonl(capsys)}
+    assert rows["m1"]["mime"] == "image/png"
+    assert rows["m2"]["mime"] == "application/zip"
+
+    assert main(["archive", "--media", p], spark=spark) == 0
+    listing = {r["media_id"]: r for r in _jsonl(capsys) if r["format"]}
+    assert listing["m2"]["total_files"] == 1
+
+    assert main(["archive", "--media", p, "--members"], spark=spark) == 0
+    members = _jsonl(capsys)
+    assert members[0]["member_name"] == "a.txt"
+
+    docs = spark.createDataFrame(
+        [(1, "<title>T1</title>", "a.html", "text/html", ".html"),
+         (2, "def f():", "b.py", "text/plain", ".py")],
+        "doc_id long, text string, name string, mime_type string, "
+        "ext string",
+    )
+    dp = str(tmp_path / "cli_title_docs.parquet")
+    docs.write.parquet(dp)
+    assert main(["title", "--docs", dp], spark=spark) == 0
+    titles = {r["doc_id"]: r["title"] for r in _jsonl(capsys)}
+    assert titles[1] == "T1" and titles[2] == "def f():"

@@ -190,6 +190,78 @@ def cmd_snapshot(spark, args) -> int:
     return 0
 
 
+def cmd_filetype(spark, args) -> int:
+    from pyspark.sql import functions as F
+
+    from yams_spark.functions.filetype import detect_file_type
+
+    media = spark.read.parquet(args.media)
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[args.media_id_col],
+                                    pdf[args.payload_col]):
+                r = detect_file_type(
+                    bytes(payload) if payload is not None else b""
+                )
+                rows.append((mid, r["mime"], r["file_type"],
+                             float(r["confidence"]), r["method"]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mime", "file_type",
+                               "confidence", "method"],
+            )
+
+    out = media.select(args.media_id_col, args.payload_col).mapInPandas(
+        compute,
+        schema="media_id string, mime string, file_type string, "
+        "confidence double, method string",
+    )
+    _emit(out.orderBy(F.col("media_id")), args.limit)
+    return 0
+
+
+def cmd_archive(spark, args) -> int:
+    from yams_spark.operators.multimodal import (
+        explode_archive_members,
+        extract_archive_listing,
+    )
+
+    media = spark.read.parquet(args.media)
+    if args.members:
+        out = explode_archive_members(media).drop("member_bytes")
+    else:
+        out = extract_archive_listing(media)
+    _emit(out, args.limit)
+    return 0
+
+
+def cmd_title(spark, args) -> int:
+    from pyspark.sql import functions as F
+
+    from yams_spark.functions.title_util import derive_title_col
+
+    docs = _docs(spark, args.docs)
+
+    def opt(col):
+        return docs[col] if col in docs.columns else F.lit("")
+
+    name = (
+        docs["name"] if "name" in docs.columns
+        else docs[args.id_col].cast("string")
+    )
+    out = docs.select(
+        args.id_col,
+        derive_title_col(
+            docs[args.text_col], name, opt("mime_type"), opt("ext")
+        ).alias("title"),
+    )
+    _emit(out, args.limit)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="yams-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -277,6 +349,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="sha256 zero-hex-digit count; default auto from row count")
     common(fc)
     fc.set_defaults(fn=cmd_facets)
+
+    ft = sub.add_parser("filetype", help="magic-byte type detection")
+    ft.add_argument("--media", required=True)
+    ft.add_argument("--media-id-col", default="media_id")
+    ft.add_argument("--payload-col", default="payload")
+    ft.add_argument("--limit", type=int, default=20)
+    ft.set_defaults(fn=cmd_filetype)
+
+    ar = sub.add_parser("archive", help="archive listing / member explode")
+    ar.add_argument("--media", required=True)
+    ar.add_argument("--members", action="store_true",
+                    help="explode members (with real decompression)")
+    ar.add_argument("--limit", type=int, default=20)
+    ar.set_defaults(fn=cmd_archive)
+
+    ti = sub.add_parser("title", help="derive titles via the ingest cascade")
+    common(ti)
+    ti.set_defaults(fn=cmd_title)
 
     sn = sub.add_parser("snapshot", help="tree snapshot with Merkle root")
     sn.add_argument("--files", required=True)
