@@ -2599,7 +2599,8 @@ def q96_composed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode("composed").alias("pos", "val")
     ).select(
         "doc_id", F.col("pos").cast("int").alias("pos"),
-        F.round("val", 6).cast("double").alias("val"),
+        # widen BEFORE rounding (round() in float32 re-exposes floats)
+        F.round(F.col("val").cast("double"), 6).alias("val"),
     )
 
 
@@ -2640,7 +2641,7 @@ def q97_topology_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_node_id").cast("long").alias("src_node_id"),
         F.col("neighbor_rank").cast("int").alias("neighbor_rank"),
         "neighbor_doc_hash",
-        F.round("score", 6).cast("double").alias("score"),
+        F.round(F.col("score").cast("double"), 6).alias("score"),
         "reciprocal",
     )
 
@@ -2670,7 +2671,8 @@ def q98_protected_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb_hashed, reciprocal_only=True, min_edge_score=0.5
     )
     return obs.select(
-        "lhs", "rhs", F.round("score", 6).cast("double").alias("score")
+        "lhs", "rhs",
+        F.round(F.col("score").cast("double"), 6).alias("score"),
     )
 
 
@@ -3450,6 +3452,46 @@ def q114_file_type_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "mime", "file_type",
         F.round("confidence", 6).cast("double").alias("confidence"),
         "method",
+    )
+
+
+def q115_doc_embedding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology document-embedding aggregation
+    (topology_input_extractor.cpp:397-430 via
+    operators/topo_inputs.aggregate_doc_embeddings): the first
+    non-empty DOCUMENT-level record wins; otherwise chunk records
+    average, with the first non-empty record fixing the dimension and
+    mismatched records skipped. Five records per doc across 50 docs;
+    exact 1/8-multiple values keep the float32-cast mean bit-identical
+    in both engines."""
+    _ship_package(spark)
+    from yams_spark.operators.topo_inputs import aggregate_doc_embeddings
+
+    # records: doc h{doc_id%50}; seq doc_id div 50 (0..9); per-doc mix
+    # of document-level (only for docs %4==0, at seq>=2), empty, 3-dim
+    # and 2-dim chunk records.
+    recs = _t(spark, sf_dir, "documents").selectExpr(
+        "concat('h', cast(doc_id % 50 as string)) AS doc_hash",
+        "cast(doc_id div 50 as int) AS seq",
+        "CASE WHEN doc_id % 4 = 0 AND doc_id div 50 >= 2"
+        " THEN 'document' ELSE 'chunk' END AS level",
+        "CASE WHEN doc_id % 11 = 3 THEN array()"
+        " WHEN doc_id % 6 = 5 THEN array("
+        "   ((doc_id % 9)) / 8.0d, ((doc_id % 7)) / 8.0d)"
+        " ELSE array(((doc_id % 13)) / 8.0d, ((doc_id % 5)) / 8.0d,"
+        "   ((doc_id % 3)) / 8.0d) END AS embedding",
+    ).selectExpr(
+        "doc_hash", "level",
+        "cast(embedding as array<float>) AS embedding", "seq",
+    )
+    out = aggregate_doc_embeddings(recs)
+    return out.select(
+        "doc_hash", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "doc_hash", F.col("pos").cast("int").alias("pos"),
+        # widen BEFORE rounding: round() in the float32 domain cannot
+        # represent x.xxxxx7 and re-exposes the raw float
+        F.round(F.col("val").cast("double"), 6).alias("val"),
     )
 
 
@@ -4507,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_surface_variants": q112_surface_variants,
         "q113_metadata_query": q113_metadata_query,
         "q114_file_type_detect": q114_file_type_detect,
+        "q115_doc_embedding_agg": q115_doc_embedding_agg,
         "q96_composed_features": q96_composed_features,
         "q97_topology_neighbors": q97_topology_neighbors,
         "q98_protected_observations": q98_protected_observations,
@@ -6236,6 +6279,57 @@ def oracle_sql() -> dict[str, str]:
         "q105_header_validate": _q105_oracle_sql(),
         "q107_wal_roundtrip": _q107_oracle_sql(),
         "q109_derive_title": _q109_oracle_sql(),
+        "q115_doc_embedding_agg": """
+            WITH recs AS (
+                SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS doc_hash,
+                       CAST(doc_id // 50 AS INTEGER) AS seq,
+                       CASE WHEN doc_id % 4 = 0 AND doc_id // 50 >= 2
+                            THEN 'document' ELSE 'chunk' END AS level,
+                       CASE WHEN doc_id % 11 = 3 THEN CAST([] AS DOUBLE[])
+                            WHEN doc_id % 6 = 5 THEN
+                                [(doc_id % 9) / 8.0, (doc_id % 7) / 8.0]
+                            ELSE [(doc_id % 13) / 8.0, (doc_id % 5) / 8.0,
+                                  (doc_id % 3) / 8.0] END AS emb
+                FROM documents),
+            ne AS (SELECT * FROM recs WHERE len(emb) > 0),
+            doclvl AS (
+                SELECT doc_hash, emb FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_hash
+                        ORDER BY seq) AS rk
+                    FROM ne WHERE level = 'document')
+                WHERE rk = 1),
+            rest AS (
+                SELECT * FROM ne
+                WHERE doc_hash NOT IN (SELECT doc_hash FROM doclvl)),
+            refdim AS (
+                SELECT doc_hash, len(emb) AS d FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_hash
+                        ORDER BY seq) AS rk FROM rest)
+                WHERE rk = 1),
+            contrib AS (
+                SELECT r.* FROM rest r
+                JOIN refdim f ON r.doc_hash = f.doc_hash
+                             AND len(r.emb) = f.d),
+            posed AS (
+                SELECT doc_hash, p.pos, emb[p.pos + 1] AS v
+                FROM contrib,
+                     (SELECT unnest(generate_series(0, 2)) AS pos) p
+                WHERE p.pos < len(emb)),
+            means AS (
+                SELECT doc_hash, pos,
+                       CAST(CAST(AVG(v) AS FLOAT) AS DOUBLE) AS val
+                FROM posed GROUP BY doc_hash, pos),
+            docl AS (
+                SELECT doc_hash, p.pos,
+                       CAST(CAST(emb[p.pos + 1] AS FLOAT) AS DOUBLE)
+                           AS val
+                FROM doclvl,
+                     (SELECT unnest(generate_series(0, 2)) AS pos) p
+                WHERE p.pos < len(emb))
+            SELECT doc_hash, CAST(pos AS INTEGER) AS pos,
+                   CAST(ROUND(val, 6) AS DOUBLE) AS val
+            FROM (SELECT * FROM docl UNION ALL SELECT * FROM means)
+        """,
         "q114_file_type_detect": """
             SELECT doc_id,
                 CASE doc_id % 8
