@@ -107,3 +107,35 @@ def test_payload_codecs():
     assert len(encode_store_block("h", 1, 1)) == 40
     assert len(encode_delete_block("h")) == 32
     assert len(encode_update_reference("h", 1)) == 36
+
+
+def test_metadata_transaction_checkpoint_payloads():
+    from yams_spark.streaming.wal_codec import (
+        decode_checkpoint,
+        decode_transaction,
+        decode_update_metadata,
+        encode_checkpoint,
+        encode_transaction,
+        encode_update_metadata,
+    )
+
+    blob = encode_update_metadata("h" * 64, "lang", "en")
+    assert len(blob) == 32 + 8 + 4 + 2
+    assert decode_update_metadata(blob) == {
+        "hash": "h" * 32, "key": "lang", "value": "en",
+    }
+    assert decode_update_metadata(blob[:-1]) is None
+
+    t = encode_transaction(42, 7)
+    assert len(t) == 16  # u64 + u32 + 4-byte struct tail pad
+    assert decode_transaction(t) == {
+        "transaction_id": 42, "participant_count": 7,
+    }
+    c = encode_checkpoint(99, 1_700_000_000)
+    assert decode_checkpoint(c) == {
+        "sequence_num": 99, "timestamp": 1_700_000_000,
+    }
+    # full entry round-trip through the frame
+    entry = encode_wal_entry("UpdateMetadata", 5, 10, payload=blob)
+    e = decode_wal_entry(entry)
+    assert decode_update_metadata(e["data"])["key"] == "lang"

@@ -185,3 +185,60 @@ def decode_update_reference(data: bytes) -> dict | None:
         return None
     (delta,) = struct.unpack("<i", data[_HASH_SIZE : _HASH_SIZE + 4])
     return {"hash": _unpack_hash(data[:_HASH_SIZE]), "delta": delta}
+
+
+def encode_update_metadata(hash_str: str, key: str, value: str) -> bytes:
+    """UpdateMetadataData (:269-314 + wal_entry.h:140-150): fixed
+    header then the raw key/value bytes."""
+    kraw = key.encode("utf-8")
+    vraw = value.encode("utf-8")
+    if len(kraw) > 0xFFFFFFFF or len(vraw) > 0xFFFFFFFF:
+        raise ValueError("WAL metadata part exceeds uint32 size limit")
+    return (
+        _pack_hash(hash_str)
+        + struct.pack("<II", len(kraw), len(vraw))
+        + kraw + vraw
+    )
+
+
+def decode_update_metadata(data: bytes) -> dict | None:
+    if len(data) < _HASH_SIZE + 8:
+        return None
+    ksize, vsize = struct.unpack(
+        "<II", data[_HASH_SIZE : _HASH_SIZE + 8]
+    )
+    if len(data) < _HASH_SIZE + 8 + ksize + vsize:
+        return None
+    base = _HASH_SIZE + 8
+    return {
+        "hash": _unpack_hash(data[:_HASH_SIZE]),
+        "key": data[base : base + ksize].decode("utf-8", "replace"),
+        "value": data[base + ksize : base + ksize + vsize].decode(
+            "utf-8", "replace"
+        ),
+    }
+
+
+def encode_transaction(txn_id: int, participant_count: int = 0) -> bytes:
+    """TransactionData (:316-334; u64 + u32 with 4 tail-pad bytes —
+    natural struct alignment)."""
+    return struct.pack("<QI4x", txn_id, participant_count)
+
+
+def decode_transaction(data: bytes) -> dict | None:
+    if len(data) < 16:
+        return None
+    txn_id, count = struct.unpack_from("<QI", data)
+    return {"transaction_id": txn_id, "participant_count": count}
+
+
+def encode_checkpoint(seq_num: int, timestamp: int) -> bytes:
+    """CheckpointData (:336-345)."""
+    return struct.pack("<QQ", seq_num, timestamp)
+
+
+def decode_checkpoint(data: bytes) -> dict | None:
+    if len(data) < 16:
+        return None
+    seq, ts = struct.unpack_from("<QQ", data)
+    return {"sequence_num": seq, "timestamp": ts}
