@@ -43,6 +43,12 @@ __all__ = [
     "decode_delete_block",
     "encode_update_reference",
     "decode_update_reference",
+    "encode_update_metadata",
+    "decode_update_metadata",
+    "encode_transaction",
+    "decode_transaction",
+    "encode_checkpoint",
+    "decode_checkpoint",
 ]
 
 WAL_MAGIC = 0x57414C31  # "WAL1"
