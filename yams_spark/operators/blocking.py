@@ -49,25 +49,39 @@ def blocks_stage(
     the pure-Python oracle consumes via ``blocking_keys_from_signature`` —
     so a one-sided edit to the blocking contract is impossible.
     """
-    parts = []
+    # One scan + one Generate: per family build an array<struct<block_key,
+    # family>> and explode the concatenation — the unioned-scans version
+    # read the signature table once PER FAMILY (4 scans of the committed
+    # sign parquet at bench scale; guide §2.3 "project before" / §6).
+    fam_arrays = []
     for fam in families:
         col, prefix, is_array = BLOCKING_FAMILY_SPEC[fam]
-        part = signatures.where(F.col(col).isNotNull()).select(
-            "url",
-            (F.explode(col) if is_array else F.col(col)).alias("block_key"),
-            F.lit(fam).alias("family"),
-        )
-        if prefix:
-            part = part.select(
-                "url",
-                F.concat(F.lit(prefix), F.col("block_key")).alias("block_key"),
-                "family",
+        if is_array:
+            keyed = F.transform(
+                F.col(col),
+                lambda k: F.struct(
+                    (F.concat(F.lit(prefix), k) if prefix else k).alias("block_key"),
+                    F.lit(fam).alias("family"),
+                ),
             )
-        parts.append(part)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        else:
+            key = (
+                F.concat(F.lit(prefix), F.col(col)) if prefix else F.col(col)
+            )
+            keyed = F.array(
+                F.struct(key.alias("block_key"), F.lit(fam).alias("family"))
+            )
+        fam_arrays.append(
+            F.when(F.col(col).isNotNull(), keyed).otherwise(
+                F.array().cast("array<struct<block_key:string,family:string>>")
+            )
+        )
+    arr = fam_arrays[0] if len(fam_arrays) == 1 else F.concat(*fam_arrays)
+    return (
+        signatures.select("url", F.explode(arr).alias("__kf"))
+        .select("url", F.col("__kf.block_key").alias("block_key"),
+                F.col("__kf.family").alias("family"))
+    )
 
 
 def salt_blocks(blocks: DataFrame, block_cap: int = DEFAULT_BLOCK_CAP) -> tuple[DataFrame, DataFrame]:
@@ -78,24 +92,36 @@ def salt_blocks(blocks: DataFrame, block_cap: int = DEFAULT_BLOCK_CAP) -> tuple[
     ``oversize_report`` lists every truncated key with its size and salt
     fan-out (lineage: dropped cross-sub-block pairs are accounted for).
     """
-    from pyspark.sql import Window
-
-    # single shuffle: window count over block_key (vs groupBy + join back)
-    withsize = blocks.withColumn(
-        "block_size", F.count("*").over(Window.partitionBy("block_key"))
-    )
-    sizes = withsize.select("block_key", "block_size").dropDuplicates(["block_key"])
+    # Only OVERSIZED keys need a size: a partially-aggregated count (map-side
+    # combine, ~half the shuffle bytes of the row stream) replaces the old
+    # full-table window sort over every (url, key) row — guide §2.3/§2.4:
+    # the window shuffled AND sorted all ~35 key rows per page just to tag
+    # the handful of keys above the cap. The surviving oversized-key table
+    # is tiny (bounded by hot-key count), so AQE turns the join back onto
+    # the row stream into a runtime broadcast; at a pathological 100 TB
+    # hot-key census it degrades to a plain shuffled join, never an OOM.
     n_salt = F.ceil(F.col("block_size") / F.lit(block_cap)).cast("int")
-    salted = withsize.withColumn(
-        "block_key",
-        F.when(
-            F.col("block_size") > block_cap,
-            F.concat_ws("#", F.col("block_key"), (F.pmod(F.xxhash64("url"), n_salt)).cast("string")),
-        ).otherwise(F.col("block_key")),
-    ).select("url", "block_key", "family")
+    big = (
+        blocks.groupBy("block_key")
+        .agg(F.count("*").alias("block_size"))
+        .where(F.col("block_size") > block_cap)
+    ).persist()
+    salted = (
+        blocks.join(big, "block_key", "left")
+        .withColumn(
+            "block_key",
+            F.when(
+                F.col("block_size").isNotNull(),
+                F.concat_ws(
+                    "#", F.col("block_key"),
+                    F.pmod(F.xxhash64("url"), n_salt).cast("string"),
+                ),
+            ).otherwise(F.col("block_key")),
+        )
+        .select("url", "block_key", "family")
+    )
     report = (
-        sizes.where(F.col("block_size") > block_cap)
-        .withColumn("n_salt", n_salt)
+        big.withColumn("n_salt", n_salt)
         .withColumn(
             "dropped_pairs_upper_bound",
             (F.col("block_size") * (F.col("block_size") - 1) / 2
@@ -192,15 +218,23 @@ def simhash_multiprobe_pairs(
 def candidate_pairs_stage(blocks: DataFrame) -> DataFrame:
     """(url, block_key) -> distinct (url_a, url_b) with url_a < url_b.
 
-    Within-block self-join; the shuffle is on block_key (both sides), AQE
-    splits skewed keys. ``dropDuplicates`` dedupes pairs found by multiple
-    key families.
+    One keyed shuffle instead of a two-sided self-join (guide §2.4): the
+    rows are grouped per block key once, singleton blocks (the majority —
+    ~half the distinct keys at bench scale) die in the aggregation, and the
+    within-block ordered pairs are generated by a streaming JVM
+    Generate+Filter (exactly the row set the old join's probe produced).
+    Group size is bounded by the salting cap upstream, so no collected
+    block list can exceed ~2x the cap. ``dropDuplicates`` dedupes pairs
+    found by multiple key families, with map-side partial aggregation.
     """
-    left = blocks.select(F.col("block_key"), F.col("url").alias("url_a"))
-    right = blocks.select(F.col("block_key"), F.col("url").alias("url_b"))
+    grouped = (
+        blocks.groupBy("block_key")
+        .agg(F.collect_list("url").alias("us"))
+        .where(F.size("us") >= 2)
+    )
     return (
-        left.join(right, "block_key")
+        grouped.select(F.explode("us").alias("url_a"), "us")
+        .select("url_a", F.explode("us").alias("url_b"))
         .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b")
         .dropDuplicates(["url_a", "url_b"])
     )

@@ -193,6 +193,33 @@ def _append_metrics(cfg: PipelineConfig, metrics: DataFrame) -> None:
     metrics.write.mode("append").parquet(os.path.join(cfg.checkpoint_dir, "metrics.parquet"))
 
 
+class _MetricsPump:
+    """Run lineage-metrics side jobs on ONE background thread (guide §2.6:
+    overlap independent jobs) so stage-N metrics scans back-fill the cores
+    while stage N+1 computes, instead of serializing ~6 extra Spark jobs
+    onto the critical path. A single worker keeps the parquet appends to
+    metrics.parquet strictly ordered; ``join()`` re-raises any failure and
+    must be called before the metrics table is read."""
+
+    def __init__(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._futures: list = []
+
+    def submit(self, fn) -> None:
+        self._futures.append(self._pool.submit(fn))
+
+    def join(self) -> None:
+        for f in self._futures:
+            f.result()
+        self._futures.clear()
+
+    def close(self) -> None:
+        self.join()
+        self._pool.shutdown()
+
+
 def _stage_timer():
     """Env-gated per-stage wall-clock tracing (YAMS_TIMING=1): prints
     'TIMING <stage> <sec>' lines for bench forensics; no-op otherwise."""
@@ -241,6 +268,21 @@ def run_pipeline(
     if n_splits < par:
         pages = pages.repartition(par * 2)
 
+    # Scale-adaptive shuffle partitioning (guide §2.2): never run the
+    # pipeline's wide stages on fewer reduce slots than the session has
+    # cores — a fixed small shuffle-partition constant leaves cores idle at
+    # high core counts, while AQE's advisory-size coalescing still merges
+    # anything that comes out tiny. Only ever raises, never lowers, so an
+    # explicit cluster-tuned setting wins.
+    try:
+        cur_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cur_parts = 0
+    if 0 < cur_parts < 2 * par:
+        spark.conf.set("spark.sql.shuffle.partitions", str(2 * par))
+
+    pump = _MetricsPump()
+
     # --- sign (extract + signatures; narrow, no shuffle) ---
     if _stage_done(cfg, "sign"):
         signatures = spark.read.parquet(_stage_path(cfg, "sign"))
@@ -263,7 +305,8 @@ def run_pipeline(
             # cluster windows) would otherwise re-run the extraction UDF
             signatures = signatures.persist()
         signatures = _commit_stage(spark, cfg, "sign", signatures)
-        _append_metrics(cfg, _partition_metrics(signatures, cfg.run_id, "sign"))
+        pump.submit(lambda df=signatures: _append_metrics(
+            cfg, _partition_metrics(df, cfg.run_id, "sign")))
     out["signatures"] = signatures
     mark("sign")
 
@@ -287,7 +330,8 @@ def run_pipeline(
                 out[name] = spark.read.parquet(_stage_path(cfg, name))
             else:
                 out[name] = _commit_stage(spark, cfg, name, df)
-                _append_metrics(cfg, _partition_metrics(out[name], cfg.run_id, name))
+                pump.submit(lambda d=out[name], n=name: _append_metrics(
+                    cfg, _partition_metrics(d, cfg.run_id, n)))
         mark("kg")
 
     # --- block (+salting report) ---
@@ -297,11 +341,12 @@ def run_pipeline(
         raw_blocks = blocks_stage(signatures, cfg.families)
         blocks, oversize = salt_blocks(raw_blocks, cfg.block_cap)
         if cfg.checkpoint_dir is None:
-            # the pair stage self-joins blocks; without a durable commit the
-            # salting window would otherwise be recomputed on both sides
+            # the pair stage re-aggregates blocks; without a durable commit
+            # the key explode + salting join would be recomputed per consumer
             blocks = blocks.persist()
         blocks = _commit_stage(spark, cfg, "block", blocks)
-        _append_metrics(cfg, _partition_metrics(blocks, cfg.run_id, "block"))
+        pump.submit(lambda df=blocks: _append_metrics(
+            cfg, _partition_metrics(df, cfg.run_id, "block")))
         if cfg.checkpoint_dir is not None:
             oversize_rows = oversize.select(
                 F.lit(cfg.run_id).alias("run_id"),
@@ -314,7 +359,7 @@ def run_pipeline(
                 F.col("n_salt").cast("long").alias("rows_out"),
                 F.current_timestamp().alias("watermark_ts"),
             )
-            _append_metrics(cfg, oversize_rows)
+            pump.submit(lambda df=oversize_rows: _append_metrics(cfg, df))
     out["blocks"] = blocks
     mark("block")
 
@@ -324,7 +369,8 @@ def run_pipeline(
     else:
         pairs = candidate_pairs_stage(blocks)
         pairs = _commit_stage(spark, cfg, "pair", pairs)
-        _append_metrics(cfg, _partition_metrics(pairs, cfg.run_id, "pair"))
+        pump.submit(lambda df=pairs: _append_metrics(
+            cfg, _partition_metrics(df, cfg.run_id, "pair")))
     out["pairs"] = pairs
     mark("pair")
 
@@ -339,7 +385,8 @@ def run_pipeline(
             scored = scored.persist()
         scored = _commit_stage(spark, cfg, "score", scored)
         if cfg.checkpoint_dir is not None:
-            _append_metrics(cfg, _score_histogram_metrics(scored, cfg.run_id))
+            pump.submit(lambda df=scored: _append_metrics(
+                cfg, _score_histogram_metrics(df, cfg.run_id)))
     out["scored_pairs"] = scored
     mark("score")
 
@@ -365,8 +412,10 @@ def run_pipeline(
         out["cc_stats"] = cc_stats
         clusters = _commit_stage(spark, cfg, "cluster_groups", clusters)
         members = _commit_stage(spark, cfg, "cluster_members", members)
-        _append_metrics(cfg, _partition_metrics(clusters, cfg.run_id, "cluster_groups"))
-        _append_metrics(cfg, _partition_metrics(members, cfg.run_id, "cluster_members"))
+        pump.submit(lambda df=clusters: _append_metrics(
+            cfg, _partition_metrics(df, cfg.run_id, "cluster_groups")))
+        pump.submit(lambda df=members: _append_metrics(
+            cfg, _partition_metrics(df, cfg.run_id, "cluster_members")))
         if cfg.max_component_docs is not None and cfg.checkpoint_dir is not None:
             # lineage: one row per split parent component (labels look like
             # "<component>#<i>"), rows_out = sub-clusters it produced
@@ -387,11 +436,12 @@ def run_pipeline(
                     F.current_timestamp().alias("watermark_ts"),
                 )
             )
-            _append_metrics(cfg, split_rows)
+            pump.submit(lambda df=split_rows: _append_metrics(cfg, df))
     out["clusters"] = clusters
     out["members"] = members
     mark("cluster")
 
+    pump.close()
     if cfg.checkpoint_dir is not None:
         out["metrics"] = spark.read.parquet(
             os.path.join(cfg.checkpoint_dir, "metrics.parquet")
