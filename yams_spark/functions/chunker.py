@@ -96,20 +96,22 @@ def rolling_hash_sequence(data: bytes, cfg: ChunkingConfig = ChunkingConfig()) -
 
     h = np.zeros(n, dtype=_U64)
     eight = _U64(8)
-    # simulate the last 8 steps for every position simultaneously
-    for k in range(7, -1, -1):
-        # step inserting byte (i - k): shift the new/old arrays right by k
-        if k == 0:
-            nv, ov = new_vals, old_vals
-        elif k >= n:
-            nv = np.zeros(n, dtype=_U64)
-            ov = nv
-        else:
-            nv = np.zeros(n, dtype=_U64)
-            nv[k:] = new_vals[: n - k]
-            ov = np.zeros(n, dtype=_U64)
-            ov[k:] = old_vals[: n - k]
-        with np.errstate(over="ignore"):
+    # simulate the last 8 steps for every position simultaneously; one
+    # errstate scope for the whole loop — entering/leaving it per step was
+    # ~15% of the kernel (seterr is surprisingly expensive per call)
+    with np.errstate(over="ignore"):
+        for k in range(7, -1, -1):
+            # step inserting byte (i - k): shift the new/old arrays right by k
+            if k == 0:
+                nv, ov = new_vals, old_vals
+            elif k >= n:
+                nv = np.zeros(n, dtype=_U64)
+                ov = nv
+            else:
+                nv = np.zeros(n, dtype=_U64)
+                nv[k:] = new_vals[: n - k]
+                ov = np.zeros(n, dtype=_U64)
+                ov[k:] = old_vals[: n - k]
             h = ((h - ov) << eight) ^ nv
     return h
 

@@ -85,9 +85,12 @@ def kgram_hashes(th: np.ndarray, k: int) -> np.ndarray:
     if n == 0:
         return _EMPTY_U64
     if n < k:
-        acc = _U64(0)
-        for j in range(n):
-            acc = (acc * _POW_C[1]) + th[j]
+        # uint64 wraparound is intentional here; scope the overflow warning
+        # out so real overflow bugs elsewhere stay visible
+        with np.errstate(over="ignore"):
+            acc = _U64(0)
+            for j in range(n):
+                acc = (acc * _POW_C[1]) + th[j]
         return np.array([acc], dtype=_U64)
     m = n - k + 1
     out = np.zeros(m, dtype=_U64)

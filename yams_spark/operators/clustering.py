@@ -67,40 +67,55 @@ DRIVER_CC_MAX_EDGES = 2_000_000
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Collect small edge sets and close them with path-compressed
-    union-find (the reference's own structure, dedupe.cpp:135-155).
-    Arrow in both directions — py4j row serialization is ~10x slower."""
+    """Collect small edge sets and close them driver-side (the reference's
+    own structure, dedupe.cpp:135-155), vectorized: factorize urls to int
+    codes, converge a min-label hook + pointer-jump loop in numpy (2-3
+    array passes at bench scale vs ~1M dict-based find() calls — the old
+    per-edge Python union-find was ~2x slower and fully serial on the
+    driver), then label each component with its lexicographically smallest
+    url via one Arrow string sort (UTF-8 byte order == code-point order).
+    Output is identical to the path-compressed union-find (fuzz + real
+    952k-edge equality tested). Arrow in both directions — py4j row
+    serialization is ~10x slower."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pac
 
     pdf = edges.toPandas()
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        parent.setdefault(x, x)
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pdf["src"], pdf["dst"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-    comp: dict[str, list[str]] = {}
-    for node in parent:
-        comp.setdefault(find(node), []).append(node)
     spark = edges.sparkSession
-    if not comp:
+    if len(pdf) == 0:
         return spark.createDataFrame([], "url string, component string")
-    urls: list[str] = []
-    labels: list[str] = []
-    for members in comp.values():
-        root = min(members)
-        urls.extend(members)
-        labels.extend([root] * len(members))
-    out = pd.DataFrame({"url": urls, "component": labels})
+    both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    m = len(pdf)
+    src = codes[:m]
+    dst = codes[m:]
+    n = len(uniq)
+    parent = np.arange(n, dtype=np.int64)
+    while True:
+        ps = parent[src]
+        pd_ = parent[dst]
+        hi = np.maximum(ps, pd_)
+        lo = np.minimum(ps, pd_)
+        if not (hi != lo).any():
+            break
+        # hook each edge's larger label onto the smaller (unbuffered .at
+        # keeps concurrent mins correct), then compress to fixpoint
+        np.minimum.at(parent, hi, lo)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    urls = np.asarray(uniq, dtype=object)
+    order = pac.sort_indices(pa.array(uniq)).to_numpy().astype(np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    min_rank = np.full(n, n, dtype=np.int64)
+    np.minimum.at(min_rank, parent, rank)
+    component = urls[order[min_rank[parent]]]
+    out = pd.DataFrame({"url": urls, "component": component})
     return spark.createDataFrame(out)
 
 
@@ -205,6 +220,11 @@ def clusters_stage(
     labels = connected_components(
         accepted_pairs, driver_max_edges=driver_cc_max_edges, stats=cc_stats
     )
+    # labels feed two packed aggregations (three with the oversize split):
+    # pin them once — without this, the driver path re-converts the local
+    # pandas relation per consumer and the distributed path re-runs the
+    # final label aggregation per consumer
+    labels = labels.localCheckpoint(eager=True)
     if max_component_docs is not None:
         labels = split_oversized_components(
             labels, accepted_pairs, max_component_docs
@@ -351,6 +371,7 @@ def cluster_metrics(
     import pandas as pd
 
     labels = connected_components(accepted_pairs)
+    labels = labels.localCheckpoint(eager=True)  # reused by both packed aggs
 
     sig_emb = signatures.select("url", "doc_hash", "embedding")
     if sgc_hops > 0:
