@@ -303,6 +303,9 @@ def q11_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term").isin(_BM25_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        # consumed by both the df aggregation and the scoring join: pin the
+        # tiny per-term tf table so the tokenize+explode pass runs once
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
@@ -786,7 +789,9 @@ def q41_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.slice(F.array_sort(F.expr("transform(sh, s -> md5(s))")), 1, 4)
         ).alias("mh"),
-    )
+    # both sides of the sketch-block self-join read this table: pin it so
+    # the shingle + md5 k-min sketch pass runs once, not per side
+    ).localCheckpoint(eager=False)
     left = mins.select("mh", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = mins.select("mh", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     cand = (

@@ -319,6 +319,11 @@ def kg_node_stats(
     sinks, so this exercises the dangling-mass redistribution path."""
     from yams_spark.operators.graph import node_degree_stats, pagerank
 
+    # degree, neighbor_count and pagerank each consume the edge table; a
+    # lazy localCheckpoint materializes it once inside the single action
+    # instead of re-running the upstream (often a regex-extraction pass)
+    # three times
+    edges = edges.localCheckpoint(eager=False)
     deg = node_degree_stats(edges, "src", "dst")
     neigh = (
         edges.select(F.col("src").alias("node"), F.col("dst").alias("peer"))

@@ -149,7 +149,14 @@ def phrase_match(
     token re-scan, no Python)."""
     if not phrase_terms:
         raise ValueError("phrase_terms must be non-empty")
-    pp = positional_postings
+    # prune to the phrase's own terms FIRST, then pin: each phrase term
+    # adds a branch over the postings, and without the checkpoint every
+    # branch re-runs the full tokenize + posexplode + groupBy index build.
+    # The pinned set holds only the phrase terms' postings (bounded), so
+    # this stays cheap at any corpus size.
+    pp = positional_postings.where(
+        F.col("term").isin(list(phrase_terms))
+    ).localCheckpoint(eager=False)
     cur = pp.where(F.col("term") == phrase_terms[0]).select(
         "doc_id", F.col("positions").alias("__pos")
     )
