@@ -3949,7 +3949,9 @@ def search_topo_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _er_outputs(spark, sf_dir)
     sigs = out["signatures"]
     accepted = out["scored_pairs"].where(F.col("accepted"))
-    cm = cluster_metrics(sigs, accepted)
+    # cluster_metrics is a packed-aggregation pass consumed by both the
+    # routing table and the medoid join: pin it once
+    cm = cluster_metrics(sigs, accepted).localCheckpoint(eager=False)
     clusters = cm.select(
         F.col("component").alias("cluster_id"),
         "member_count",
@@ -4186,13 +4188,20 @@ def search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_df = docs.select("doc_id", "text").mapInPandas(
         embs, schema="vec_id long, embedding array<float>"
     )
-    ents = extract_doc_entities(_kg_docs(spark, sf_dir))
+    # the mention table feeds SEVEN downstream tables across the fanout;
+    # pin it (and the co-mention edges, consumed twice) so the regex
+    # extraction pass runs once instead of per consumer
+    ents = extract_doc_entities(_kg_docs(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     doc_entities = ents.select(
         F.col("document_id").alias("doc_id"), F.col("node_key").alias("entity")
     ).distinct()
-    co = build_co_mention_edges(ents)
+    co = build_co_mention_edges(ents).localCheckpoint(eager=False)
     edges = co.select("src", "dst")
-    node_emb = build_kg_node_embeddings(ents, _t(spark, sf_dir, "embeddings"))
+    node_emb = build_kg_node_embeddings(
+        ents, _t(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=False)  # entity_vector + kg_tables both read it
     node_docs = ents.select(
         "node_key", F.col("document_id").alias("doc_id")
     ).distinct()

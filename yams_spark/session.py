@@ -38,6 +38,11 @@ def get_spark(
         # coalescing tiny exchanges
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime-size-gated SMJ->SHJ rewrite: AQE only applies it when
+        # EVERY post-shuffle partition of the build side fits the local map
+        # threshold, so (unlike a blanket preferSortMergeJoin=false) it can
+        # never pick a hash join that a skewed 100TB partition would blow up
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         # NOTE: keep the default autoBroadcastJoinThreshold (10m). Raising it
         # makes Catalyst broadcast the embedding-bearing signature table in
         # the pair-hydration joins (~330MB deserialized) — driver GC churn
