@@ -775,6 +775,13 @@ def q41_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn(
         "t", F.expr(_TOKENIZE_SPARK.format(col="text"))
     ).where(F.size("t") >= 3)
+    # decide with small rows, attach the payload once: the sketch-block
+    # self-join and the pair dedup run over narrow (mh, doc_id) rows; the
+    # shingle arrays join back only for the surviving candidate pairs.
+    # (Blocking on rows that carried the full shingle array shuffled 4
+    # copies of every doc's shingles through the join + dedup.) Both the
+    # shingle table and the tiny sketch table are pinned so the tokenize/
+    # shingle pass and the md5 k-min pass each run once.
     sh = d.select(
         "doc_id",
         F.array_distinct(
@@ -783,26 +790,29 @@ def q41_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_at(t, i + 1), ' ', element_at(t, i + 2)))"
             )
         ).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     mins = sh.select(
-        "doc_id", "sh",
+        "doc_id",
         F.explode(
             F.slice(F.array_sort(F.expr("transform(sh, s -> md5(s))")), 1, 4)
         ).alias("mh"),
-    # both sides of the sketch-block self-join read this table: pin it so
-    # the shingle + md5 k-min sketch pass runs once, not per side
     ).localCheckpoint(eager=False)
-    left = mins.select("mh", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    right = mins.select("mh", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     cand = (
-        left.join(right, "mh")
+        mins.select("mh", F.col("doc_id").alias("id_a"))
+        .join(mins.select("mh", F.col("doc_id").alias("id_b")), "mh")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    hydrated = cand.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jac", inter.cast("double") / union.cast("double"))
+        hydrated.withColumn("jac", inter.cast("double") / union.cast("double"))
         .where(F.col("jac") >= 0.5)
         .select(
             "id_a", "id_b", F.round("jac", 6).cast("double").alias("jaccard")
